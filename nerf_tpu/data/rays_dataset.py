@@ -1,0 +1,146 @@
+"""Per-step ray-batch selection — the reference's two policies, device-side.
+
+(a) ``use_batching`` (ref run_nerf.py:676-698, 715-726): all train-image rays
+    precomputed as one [N_total, 3, 3] buffer (origin, direction, rgb),
+    shuffled, consumed in N_rand windows, reshuffled each epoch.
+    TPU design: the buffer is uploaded to device ONCE; the shuffle is a device
+    permutation array regenerated per epoch (jax.random.permutation), and each
+    step gathers its window through the permutation inside jit. No host↔device
+    traffic per step.
+
+(b) ``no_batching`` (ref run_nerf.py:728-757): one random train image per
+    step, rays generated on the fly, N_rand pixels sampled without
+    replacement, optionally restricted to a center crop for the first
+    ``precrop_iters`` steps. TPU design: images+poses live on device; image
+    pick, ray generation, and pixel sampling all happen inside one jitted
+    sampler (shape-stable: the crop vs full branch is a host-level static
+    switch, compiled once each).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.data.scene import Scene
+from nerf_tpu.geom.rays import get_rays_np
+
+
+def build_ray_buffer(scene: Scene) -> np.ndarray:
+    """Host-side precompute of [N_train*H*W, 3, 3] (ro, rd, rgb) float32.
+
+    Mirrors ref run_nerf.py:680-686 (rays for all poses, concat rgb,
+    train-image selection, flatten).
+    """
+    rays = np.stack(
+        [get_rays_np(scene.H, scene.W, scene.K, p[:3, :4]) for p in scene.poses], 0
+    )  # [N, 2, H, W, 3]
+    rays_rgb = np.concatenate([rays, scene.images[:, None]], 1)  # [N, 3, H, W, 3]
+    rays_rgb = np.transpose(rays_rgb, [0, 2, 3, 1, 4])  # [N, H, W, 3, 3]
+    rays_rgb = np.stack([rays_rgb[i] for i in scene.i_train], 0)
+    return np.reshape(rays_rgb, [-1, 3, 3]).astype(np.float32)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _gather_window(buffer, perm, offset, n_rand):
+    idx = jax.lax.dynamic_slice_in_dim(perm, offset, n_rand)
+    batch = buffer[idx]  # [n_rand, 3, 3]
+    return batch[:, 0], batch[:, 1], batch[:, 2]
+
+
+class BatchedRaySampler:
+    """Policy (a): epoch-shuffled window over the global ray buffer."""
+
+    def __init__(self, scene: Scene, n_rand: int, key: jax.Array):
+        self.n_rand = n_rand
+        self.buffer = jnp.asarray(build_ray_buffer(scene))
+        self.n_total = self.buffer.shape[0]
+        self.key = key
+        self.perm = None
+        self.i_batch = 0
+        self._reshuffle()
+
+    def _reshuffle(self):
+        self.key, sub = jax.random.split(self.key)
+        self.perm = jax.random.permutation(sub, self.n_total)
+        self.i_batch = 0
+
+    def next_batch(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        if self.i_batch + self.n_rand > self.n_total:
+            self._reshuffle()  # epoch boundary (ref run_nerf.py:722-726)
+        ro, rd, rgb = _gather_window(
+            self.buffer, self.perm, self.i_batch, self.n_rand
+        )
+        self.i_batch += self.n_rand
+        return ro, rd, rgb
+
+
+def _sample_image_rays(
+    images, poses, i_train, K, H: int, W: int, n_rand: int,
+    crop: Tuple[int, int, int, int], key
+):
+    """Jitted core of policy (b). crop = (row0, col0, rows, cols) static."""
+    k_img, k_pix = jax.random.split(key)
+    img_i = i_train[jax.random.randint(k_img, (), 0, i_train.shape[0])]
+    target = images[img_i]
+    pose = poses[img_i, :3, :4]
+
+    from nerf_tpu.geom.rays import get_rays  # local import to avoid cycle
+
+    rays_o, rays_d = get_rays(H, W, K, pose)
+
+    row0, col0, rows, cols = crop
+    # sample without replacement over the crop area (ref np.random.choice
+    # replace=False, run_nerf.py:752)
+    flat = jax.random.choice(k_pix, rows * cols, (n_rand,), replace=False)
+    r = row0 + flat // cols
+    c = col0 + flat % cols
+    return rays_o[r, c], rays_d[r, c], target[r, c]
+
+
+class ImageRaySampler:
+    """Policy (b): per-step single-image pixel sampling with precrop."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        n_rand: int,
+        key: jax.Array,
+        precrop_iters: int = 0,
+        precrop_frac: float = 0.5,
+    ):
+        self.H, self.W = scene.H, scene.W
+        self.n_rand = n_rand
+        self.precrop_iters = precrop_iters
+        self.images = jnp.asarray(scene.images)
+        self.poses = jnp.asarray(scene.poses)
+        self.i_train = jnp.asarray(scene.i_train)
+        self.K = jnp.asarray(scene.K)
+        self.key = key
+        dH = int(self.H // 2 * precrop_frac)
+        dW = int(self.W // 2 * precrop_frac)
+        # crop bounds per ref run_nerf.py:738-745: rows in [H//2-dH, H//2+dH)
+        self._crop = (self.H // 2 - dH, self.W // 2 - dW, 2 * dH, 2 * dW)
+        self._full = (0, 0, self.H, self.W)
+        self._fn = jax.jit(_sample_image_rays, static_argnums=(4, 5, 6, 7))
+
+    def next_batch(self, step: int):
+        self.key, sub = jax.random.split(self.key)
+        crop = self._crop if step < self.precrop_iters else self._full
+        return self._fn(
+            self.images, self.poses, self.i_train, self.K,
+            self.H, self.W, self.n_rand, crop, sub,
+        )
+
+
+def make_sampler(scene: Scene, cfg, key: jax.Array):
+    """Pick the policy from the config (ref use_batching = not no_batching)."""
+    if cfg.no_batching:
+        return ImageRaySampler(
+            scene, cfg.N_rand, key, cfg.precrop_iters, cfg.precrop_frac
+        )
+    return BatchedRaySampler(scene, cfg.N_rand, key)

@@ -1,0 +1,239 @@
+"""The coarse/fine volume renderer.
+
+Re-design of the reference's L3/L4 (render_rays run_nerf.py:308-418; render /
+batchify_rays run_nerf.py:54-134) as pure jittable functions:
+
+- hyperparameters ride in a frozen ``RenderSettings`` (jit-static) instead of
+  the reference's dict-of-closures ``render_kwargs``;
+- randomness is an explicit key, split per consumer; parity tests can inject
+  the reference's exact numpy streams via ``overrides``;
+- ray chunking survives only for full-frame eval (``render_image``), as a
+  ``lax.map`` over fixed-size chunks — inside one jit, not a Python loop;
+- the sample_pdf output is wrapped in stop_gradient (ref detach,
+  run_nerf.py:394) so no gradient flows through fine sample positions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.geom.rays import get_rays, ndc_rays
+from nerf_tpu.ops.compositing import raw2outputs
+from nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
+from nerf_tpu.render.network import NeRFModel, query_raw
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static rendering hyperparameters (ref render_kwargs, run_nerf.py:237-247)."""
+
+    n_samples: int = 64
+    n_importance: int = 0
+    perturb: bool = True
+    use_viewdirs: bool = True
+    white_bkgd: bool = False
+    raw_noise_std: float = 0.0
+    lindisp: bool = False
+    ndc: bool = False
+    retraw: bool = False
+
+    def eval_mode(self) -> "RenderSettings":
+        """Test-time variant: no jitter, no sigma noise (ref run_nerf.py:255-257)."""
+        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0, retraw=False)
+
+
+def render_rays(
+    params: Dict,
+    model: NeRFModel,
+    rs: RenderSettings,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    overrides: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Volume-render a batch of rays (ref render_rays, run_nerf.py:308-418).
+
+    Args:
+        params: {"coarse": pytree, "fine": pytree or absent}.
+        rays_o, rays_d: [R, 3] (rays_d NOT normalized).
+        viewdirs: [R, 3] unit directions or None.
+        near, far: [R] per-ray bounds.
+        key: RNG key (required when rs.perturb or rs.raw_noise_std>0).
+        overrides: parity-test hooks {t_rand, noise0, noise1, u} replacing the
+            corresponding random draws (ref pytest streams, SURVEY.md §4).
+
+    Returns dict with rgb_map/disp_map/acc_map (+ raw, rgb0/disp0/acc0/z_std).
+    """
+    overrides = overrides or {}
+    if key is None:
+        key = jax.random.key(0)
+    k_jitter, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+
+    needs_rand = rs.perturb and "t_rand" not in overrides
+    z_vals = stratified_z_vals(
+        near,
+        far,
+        rs.n_samples,
+        lindisp=rs.lindisp,
+        perturb=rs.perturb,
+        key=k_jitter if needs_rand else None,
+        t_rand=overrides.get("t_rand"),
+    )
+
+    def run_level(level: str, z: jnp.ndarray, noise_key, noise_override):
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
+        raw = query_raw(params.get(level) or params["coarse"],
+                        model.mlp_config(level), model, pts, viewdirs)
+        out = raw2outputs(
+            raw,
+            z,
+            rays_d,
+            raw_noise_std=rs.raw_noise_std,
+            white_bkgd=rs.white_bkgd,
+            key=noise_key,
+            noise=noise_override,
+        )
+        return raw, out
+
+    raw, coarse = run_level("coarse", z_vals, k_noise0, overrides.get("noise0"))
+
+    ret = {"rgb_map": coarse.rgb, "disp_map": coarse.disp, "acc_map": coarse.acc}
+
+    if rs.n_importance > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            z_mid,
+            coarse.weights[..., 1:-1],
+            rs.n_importance,
+            det=not rs.perturb,
+            key=k_pdf,
+            u=overrides.get("u"),
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)  # ref detach run_nerf.py:394
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        raw, fine = run_level("fine", z_all, k_noise1, overrides.get("noise1"))
+        ret = {
+            "rgb_map": fine.rgb,
+            "disp_map": fine.disp,
+            "acc_map": fine.acc,
+            "rgb0": coarse.rgb,
+            "disp0": coarse.disp,
+            "acc0": coarse.acc,
+            "z_std": jnp.std(z_samples, axis=-1),
+        }
+    if rs.retraw:
+        ret["raw"] = raw
+    return ret
+
+
+def prepare_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    rs: RenderSettings,
+    H: int,
+    W: int,
+    focal: float,
+    near: float,
+    far: float,
+    viewdirs_from: Optional[jnp.ndarray] = None,
+):
+    """Viewdirs + NDC + flattening (ref render(), run_nerf.py:102-123).
+
+    ``viewdirs_from`` supports the c2w_staticcam visualization path
+    (run_nerf.py:105-107): directions for shading taken from a different
+    camera than the rendered rays.
+    """
+    viewdirs = None
+    if rs.use_viewdirs:
+        vd = viewdirs_from if viewdirs_from is not None else rays_d
+        viewdirs = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+    if rs.ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    near_v = jnp.full(rays_o.shape[:1], near, rays_o.dtype)
+    far_v = jnp.full(rays_o.shape[:1], far, rays_o.dtype)
+    return rays_o, rays_d, viewdirs, near_v, far_v
+
+
+def render_image(
+    params: Dict,
+    model: NeRFModel,
+    rs: RenderSettings,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    near: float,
+    far: float,
+    chunk: int = 1024 * 32,
+    key: Optional[jax.Array] = None,
+    c2w_staticcam=None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a full H×W frame, chunked via lax.map (ref render + batchify_rays).
+
+    Chunking is a memory/latency trade only; results are identical
+    (ref docstring run_nerf.py:78-79).
+    """
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    viewdirs_from = None
+    if c2w_staticcam is not None:
+        # staticcam visualization: shade with c2w's directions, render from
+        # c2w_staticcam's rays (ref run_nerf.py:105-107)
+        viewdirs_from = rays_d
+        rays_o, rays_d = get_rays(H, W, K, c2w_staticcam)
+    focal = float(K[0][0]) if not hasattr(K, "shape") else K[0, 0]
+    rays_o, rays_d, viewdirs, near_v, far_v = prepare_rays(
+        rays_o, rays_d, rs, H, W, focal, near, far, viewdirs_from
+    )
+
+    n = rays_o.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def pad_to(x):
+        if x is None:
+            return None
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], 0) if pad else x
+
+    rays_o, rays_d, viewdirs, near_v, far_v = (
+        pad_to(rays_o), pad_to(rays_d), pad_to(viewdirs), pad_to(near_v), pad_to(far_v)
+    )
+    if key is None:
+        key = jax.random.key(0)
+    keys = jax.random.split(key, n_chunks)
+
+    def chunk_fn(args):
+        ro, rd, vd, nr, fr, k = args
+        return render_rays(params, model, rs, ro, rd, vd, nr, fr, key=k)
+
+    def reshape_chunks(x):
+        return x.reshape(n_chunks, chunk, *x.shape[1:])
+
+    operands = (
+        reshape_chunks(rays_o),
+        reshape_chunks(rays_d),
+        reshape_chunks(viewdirs) if viewdirs is not None else jnp.zeros((n_chunks, chunk, 0)),
+        reshape_chunks(near_v),
+        reshape_chunks(far_v),
+        keys,
+    )
+    if viewdirs is None:
+        def chunk_fn(args):  # noqa: F811 - no-viewdirs variant
+            ro, rd, _, nr, fr, k = args
+            return render_rays(params, model, rs, ro, rd, None, nr, fr, key=k)
+
+    out = jax.lax.map(chunk_fn, operands)
+    out = {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:n] for k, v in out.items()}
+    return {
+        k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
+    }

@@ -1,0 +1,136 @@
+"""The jitted training step.
+
+Replaces the reference's eager loop body (run_nerf.py:759-784): forward
+coarse+fine render, ``loss = mse(fine) + mse(coarse)`` (run_nerf.py:765-772),
+Adam with the manual exponential decay ``lr = lrate * 0.1^(step/(decay*1000))``
+(run_nerf.py:780-784) expressed as an optax schedule, all inside one jit with
+donated state.
+
+TPU notes: the whole step — ray->pts, posenc, both MLP passes, compositing,
+backward, Adam — is one XLA program; there is no host sync inside. Under a
+sharded mesh the same function is jitted with rays sharded over the ``data``
+axis and params replicated; XLA inserts the gradient all-reduce (psum) and
+overlaps it with the backward pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_tpu.render.network import NeRFModel
+from nerf_tpu.render.renderer import RenderSettings, render_rays
+from nerf_tpu.utils.metrics import img2mse, mse2psnr
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Pytree train state (params + Adam moments + step counter)."""
+
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray  # int32 scalar
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)
+
+
+def lr_schedule(lrate: float, lrate_decay: int) -> optax.Schedule:
+    """lr(step) = lrate * 0.1^(step / (lrate_decay*1000)) — ref run_nerf.py:780-784.
+
+    The reference writes the lr for step t+1 after completing step t with
+    ``global_step = t``; optax's count at update t is t, giving the identical
+    sequence (first update at count 0 -> lr = lrate).
+    """
+    return optax.exponential_decay(
+        init_value=lrate,
+        transition_steps=lrate_decay * 1000,
+        decay_rate=0.1,
+        staircase=False,
+    )
+
+
+def make_optimizer(lrate: float, lrate_decay: int) -> optax.GradientTransformation:
+    # Adam(betas=(0.9, 0.999), eps=1e-8) — ref run_nerf.py:207
+    return optax.adam(lr_schedule(lrate, lrate_decay), b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_state(
+    params: Dict, lrate: float, lrate_decay: int, start_step: int = 0
+) -> TrainState:
+    tx = make_optimizer(lrate, lrate_decay)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.asarray(start_step, jnp.int32),
+    )
+
+
+def loss_fn(
+    params: Dict,
+    model: NeRFModel,
+    rs: RenderSettings,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    target: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    out = render_rays(params, model, rs, rays_o, rays_d, viewdirs, near, far, key=key)
+    img_loss = img2mse(out["rgb_map"], target)
+    loss = img_loss
+    aux = {"psnr": mse2psnr(img_loss), "img_loss": img_loss}
+    if "rgb0" in out:  # coarse term only when N_importance>0 (ref run_nerf.py:770-772)
+        img_loss0 = img2mse(out["rgb0"], target)
+        loss = loss + img_loss0
+        aux["psnr0"] = mse2psnr(img_loss0)
+    aux["loss"] = loss
+    return loss, aux
+
+
+def make_train_step(
+    model: NeRFModel,
+    rs: RenderSettings,
+    lrate: float,
+    lrate_decay: int,
+    donate: bool = True,
+    hwf=None,
+):
+    """Build the jitted train step.
+
+    Returned fn: (state, rays_o, rays_d, near, far, target, key) -> (state, aux).
+    Viewdirs derive from the RAW rays_d (normalization) and, on the LLFF
+    forward-facing path, the marching rays are NDC-transformed afterwards —
+    matching the reference's render() preamble order (run_nerf.py:102-114).
+    ``hwf=(H, W, focal)`` is required when rs.ndc.
+    """
+    tx = make_optimizer(lrate, lrate_decay)
+    if rs.ndc and hwf is None:
+        raise ValueError("rs.ndc=True requires hwf=(H, W, focal)")
+
+    def step_fn(state: TrainState, rays_o, rays_d, near, far, target, key):
+        viewdirs = None
+        if rs.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if rs.ndc:
+            from nerf_tpu.geom.rays import ndc_rays
+
+            H, W, focal = hwf
+            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+        key = jax.random.fold_in(key, state.step)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, model, rs, rays_o, rays_d, viewdirs, near, far, target, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), aux
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
