@@ -1,0 +1,103 @@
+"""Benchmark: train-step throughput (rays/s/chip) on the lego full recipe.
+
+Measures the fwd+bwd+Adam step of the flagship model (8x256 coarse+fine,
+viewdirs, 64+128 samples, N_rand=4096 — the reference's default batch,
+run_nerf.py:443) on synthetic rays, and prints ONE JSON line.
+
+Baseline: 7.1k rays/s derived from the reference README (lego 100k iters in
+~4h on an RTX 2080 Ti — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 7100.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from nerf_tpu.models.embedding import PosEncConfig
+    from nerf_tpu.models.factory import init_model_params
+    from nerf_tpu.models.nerf_mlp import MLPConfig
+    from nerf_tpu.render.network import NeRFModel
+    from nerf_tpu.render.renderer import RenderSettings
+    from nerf_tpu.train.step import init_train_state, make_train_step
+
+    n_rand = 4096
+    mcfg = MLPConfig(input_ch=63, input_ch_views=27, output_ch=5)
+    model = NeRFModel(
+        pe_pts=PosEncConfig(10),
+        pe_views=PosEncConfig(4),
+        coarse=mcfg,
+        fine=mcfg,
+        compute_dtype="bfloat16",
+    )
+    rs = RenderSettings(
+        n_samples=64, n_importance=128, perturb=True, white_bkgd=True,
+        use_viewdirs=True,
+    )
+    log(f"bench: devices={jax.devices()} N_rand={n_rand} samples=64+128 bf16")
+
+    params = init_model_params(jax.random.key(0), model)
+    state = init_train_state(params, 5e-4, 500)
+    step = make_train_step(model, rs, 5e-4, 500, donate=True)
+
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32) * 0.1)
+    rays_d = jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32))
+    near = jnp.full((n_rand,), 2.0, jnp.float32)
+    far = jnp.full((n_rand,), 6.0, jnp.float32)
+    target = jnp.asarray(rng.uniform(0, 1, (n_rand, 3)).astype(np.float32))
+    key = jax.random.key(0)
+
+    t0 = time.time()
+    state, aux = step(state, rays_o, rays_d, near, far, target, key)
+    jax.block_until_ready(state)
+    log(f"bench: first step (compile) {time.time()-t0:.1f}s loss={float(aux['loss']):.4f}")
+
+    for _ in range(3):  # warmup
+        state, aux = step(state, rays_o, rays_d, near, far, target, key)
+    jax.block_until_ready(state)
+
+    n_steps = 30
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, aux = step(state, rays_o, rays_d, near, far, target, key)
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+
+    rays_per_sec = n_rand * n_steps / dt
+    # MFU estimate: fwd+bwd ~= 3x fwd FLOPs; fwd ~= 2 * params_matmul * points
+    pts = n_rand * (64 + 128 + 64)  # fine pass 192 + coarse 64 points/ray
+    flops_per_pt = 2 * (
+        63 * 256 + 6 * 256 * 256 + (256 + 63) * 256 + 256 * 257 + (256 + 27) * 128 + 128 * 3
+    )
+    tflops = 3 * pts * flops_per_pt * n_steps / dt / 1e12
+    log(
+        f"bench: {dt/n_steps*1000:.1f} ms/step, {rays_per_sec:,.0f} rays/s, "
+        f"~{tflops:.1f} TFLOP/s, loss={float(aux['loss']):.4f}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

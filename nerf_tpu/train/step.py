@@ -96,15 +96,15 @@ def loss_fn(
     return loss, aux
 
 
-def make_train_step(
+def make_train_step_fn(
     model: NeRFModel,
     rs: RenderSettings,
     lrate: float,
     lrate_decay: int,
-    donate: bool = True,
     hwf=None,
 ):
-    """Build the jitted train step.
+    """Build the UN-jitted train step body (jitted by make_train_step for
+    single-chip, or by parallel.mesh.make_sharded_train_step over a mesh).
 
     Returned fn: (state, rays_o, rays_d, near, far, target, key) -> (state, aux).
     Viewdirs derive from the RAW rays_d (normalization) and, on the LLFF
@@ -133,4 +133,17 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), aux
 
+    return step_fn
+
+
+def make_train_step(
+    model: NeRFModel,
+    rs: RenderSettings,
+    lrate: float,
+    lrate_decay: int,
+    donate: bool = True,
+    hwf=None,
+):
+    """Single-chip jitted train step (see make_train_step_fn for signature)."""
+    step_fn = make_train_step_fn(model, rs, lrate, lrate_decay, hwf)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
