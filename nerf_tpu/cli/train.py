@@ -1,0 +1,21 @@
+"""Train CLI — the reference's entry point surface (run_nerf.py:875-878).
+
+Usage parity: ``python -m nerf_tpu.cli.train --config configs/lego.txt
+[--flag value ...]`` with the reference's flag set (nerf_tpu/config.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from nerf_tpu.config import load_config
+from nerf_tpu.train.loop import train
+
+
+def main(argv=None):
+    cfg = load_config(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

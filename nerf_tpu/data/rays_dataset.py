@@ -95,8 +95,11 @@ def _sample_image_rays(
 
     row0, col0, rows, cols = crop
     # sample without replacement over the crop area (ref np.random.choice
-    # replace=False, run_nerf.py:752)
-    flat = jax.random.choice(k_pix, rows * cols, (n_rand,), replace=False)
+    # replace=False, run_nerf.py:752); degrade to replacement when the crop
+    # holds fewer pixels than N_rand (the reference would crash there)
+    flat = jax.random.choice(
+        k_pix, rows * cols, (n_rand,), replace=n_rand > rows * cols
+    )
     r = row0 + flat // cols
     c = col0 + flat % cols
     return rays_o[r, c], rays_d[r, c], target[r, c]

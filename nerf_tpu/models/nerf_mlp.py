@@ -55,8 +55,20 @@ def _linear_init(key: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32):
     return {"w": w, "b": b}
 
 
-def init_params(key: jax.Array, cfg: MLPConfig, dtype=jnp.float32) -> Params:
-    """Build the parameter pytree."""
+def init_params(
+    key: jax.Array, cfg: MLPConfig, dtype=jnp.float32, sigma_bias: float = 0.1
+) -> Params:
+    """Build the parameter pytree.
+
+    ``sigma_bias`` is added to the density head's bias at init. With the
+    reference's init distribution the raw sigma at init is a near-constant
+    whose SIGN is a coin flip per network; a negative draw means
+    ``relu(sigma) = 0`` everywhere — zero density AND zero density-gradient,
+    so that network can never learn geometry (a known failure mode of the
+    reference: torch Linear init has the same coin flip). A small positive
+    bias removes the trap without visibly changing init density
+    (sigma ~ 0.1 -> alpha ~ 0.6% per sample). Set 0.0 for strict init parity.
+    """
     n_layers = cfg.depth + (4 if cfg.use_viewdirs else 1)
     keys = iter(jax.random.split(key, n_layers))
     trunk = []
@@ -69,6 +81,7 @@ def init_params(key: jax.Array, cfg: MLPConfig, dtype=jnp.float32) -> Params:
     params: Params = {"trunk": trunk}
     if cfg.use_viewdirs:
         params["alpha"] = _linear_init(next(keys), cfg.width, 1, dtype)
+        params["alpha"]["b"] = params["alpha"]["b"] + sigma_bias
         params["feature"] = _linear_init(next(keys), cfg.width, cfg.width, dtype)
         params["views"] = _linear_init(
             next(keys), cfg.width + cfg.input_ch_views, cfg.width // 2, dtype
@@ -76,6 +89,8 @@ def init_params(key: jax.Array, cfg: MLPConfig, dtype=jnp.float32) -> Params:
         params["rgb"] = _linear_init(next(keys), cfg.width // 2, 3, dtype)
     else:
         params["output"] = _linear_init(next(keys), cfg.width, cfg.output_ch, dtype)
+        # channel 3 is sigma (run_nerf.py:282,293)
+        params["output"]["b"] = params["output"]["b"].at[3].add(sigma_bias)
     return params
 
 
@@ -84,7 +99,13 @@ def _dense(p, x, compute_dtype=None):
     if compute_dtype is not None and compute_dtype != jnp.float32:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    # f32 operands: force true-f32 MXU passes (parity); bf16: native mode
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=prec)
     return y + b.astype(jnp.float32)
 
 

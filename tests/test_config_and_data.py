@@ -1,0 +1,199 @@
+"""Config parsing (reference preset compatibility) and dataset loaders."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_tpu.config import NeRFConfig, dump_config, load_config, parse_config_file
+from tests.synthetic_scene import write_blender_dataset
+
+REPO_CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
+REF_CONFIGS = "/root/reference/configs"
+
+
+def test_shipped_presets_parse():
+    names = sorted(os.listdir(REPO_CONFIGS))
+    assert len(names) == 16
+    for n in names:
+        cfg = load_config(["--config", os.path.join(REPO_CONFIGS, n)])
+        assert cfg.N_rand == 1024
+        assert cfg.use_viewdirs
+        if cfg.dataset_type == "blender":
+            assert cfg.N_importance == 128 and cfg.white_bkgd and cfg.no_batching
+            assert not cfg.ndc
+        else:
+            assert cfg.dataset_type == "llff"
+            assert cfg.N_importance == 64 and cfg.raw_noise_std == 1.0
+            assert cfg.ndc
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIGS), reason="reference not mounted")
+def test_reference_preset_files_parse_directly():
+    """The REFERENCE's own config files must drive this framework unchanged."""
+    cfg = load_config(["--config", os.path.join(REF_CONFIGS, "lego.txt")])
+    assert cfg.expname == "blender_paper_lego"
+    assert cfg.N_importance == 128 and cfg.half_res and cfg.precrop_iters == 500
+    cfg = load_config(["--config", os.path.join(REF_CONFIGS, "fern.txt")])
+    assert cfg.dataset_type == "llff" and cfg.factor == 8
+    assert cfg.raw_noise_std == 1.0  # parses "1e0"
+
+
+def test_cli_overrides_file():
+    path = os.path.join(REPO_CONFIGS, "lego.txt")
+    cfg = load_config(["--config", path, "--N_rand", "4096", "--half_res", "False"])
+    assert cfg.N_rand == 4096
+    assert cfg.half_res is False  # CLI False overrides file True
+
+
+def test_dump_roundtrip(tmp_path):
+    cfg = NeRFConfig(expname="x", N_importance=64)
+    text = dump_config(cfg)
+    p = tmp_path / "args.txt"
+    p.write_text(text)
+    parsed = parse_config_file(str(p))
+    assert parsed["expname"] == "x"
+    assert parsed["N_importance"] == 64
+
+
+def test_blender_loader_end_to_end(tmp_path):
+    """Write a blender-format dataset to disk, load through the real loader."""
+    from nerf_tpu.data.blender import load_blender_scene
+
+    basedir = write_blender_dataset(str(tmp_path), n_train=3, n_val=2, n_test=2)
+    scene = load_blender_scene(basedir, half_res=False, testskip=1, white_bkgd=True)
+    assert scene.images.shape == (7, 32, 32, 3)
+    assert scene.images.dtype == np.float32
+    assert list(scene.i_train) == [0, 1, 2]
+    assert list(scene.i_test) == [5, 6]
+    assert scene.near == 2.0 and scene.far == 6.0
+    assert scene.render_poses.shape[0] == 40
+    # white-background compositing: border pixels ~ white
+    assert scene.images[0, 0, 0].mean() > 0.95
+
+
+def test_blender_loader_half_res(tmp_path):
+    from nerf_tpu.data.blender import load_blender_scene
+
+    basedir = write_blender_dataset(str(tmp_path), n_train=2, n_val=1, n_test=1)
+    full = load_blender_scene(basedir, half_res=False)
+    half = load_blender_scene(basedir, half_res=True)
+    assert half.H == full.H // 2 and half.W == full.W // 2
+    assert abs(half.focal - full.focal / 2) < 1e-6
+    # area downsample preserves mean
+    assert abs(half.images.mean() - full.images.mean()) < 0.02
+
+
+def test_blender_testskip(tmp_path):
+    from nerf_tpu.data.blender import load_blender_scene
+
+    basedir = write_blender_dataset(str(tmp_path), n_train=2, n_val=4, n_test=4)
+    s1 = load_blender_scene(basedir, testskip=2)
+    assert len(s1.i_val) == 2 and len(s1.i_test) == 2
+
+
+def test_llff_loader_synthetic(tmp_path):
+    """Synthesize an LLFF dataset (poses_bounds.npy + images/) and load it."""
+    import imageio.v2 as imageio
+
+    from nerf_tpu.data.llff import load_llff_scene
+
+    n, H, W, f = 6, 24, 32, 30.0
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "images")
+    poses_bounds = np.zeros((n, 17))
+    for i in range(n):
+        # forward-facing-ish cameras near z=4 looking at origin
+        c2w = np.eye(4)[:3]
+        c2w[:, 3] = [rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2), 4 + rng.uniform(-0.1, 0.1)]
+        # llff disk convention: [down, right, back] columns + hwf in col 4
+        m = np.concatenate(
+            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:3], c2w[:, 3:4],
+             np.array([[H], [W], [f]])], 1
+        )
+        poses_bounds[i, :15] = m.reshape(-1)
+        poses_bounds[i, 15:] = [2.0, 6.0]
+        img = (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+        imageio.imwrite(str(tmp_path / "images" / f"im{i:02d}.png"), img)
+    np.save(tmp_path / "poses_bounds.npy", poses_bounds)
+
+    scene = load_llff_scene(str(tmp_path), factor=1, llffhold=3, no_ndc=False)
+    assert scene.images.shape == (n, H, W, 3)
+    assert scene.near == 0.0 and scene.far == 1.0  # NDC bounds
+    assert list(scene.i_test) == [0, 3]
+    assert scene.render_poses.shape[1:] == (3, 4)
+    assert np.isfinite(scene.poses).all()
+
+    scene2 = load_llff_scene(str(tmp_path), factor=1, llffhold=3, no_ndc=True)
+    assert scene2.near > 0  # bds-derived
+
+    # factor-2 minify path (in-process downsampler, cached in images_2/)
+    scene3 = load_llff_scene(str(tmp_path), factor=2, llffhold=3)
+    assert scene3.images.shape == (n, H // 2, W // 2, 3)
+    assert os.path.isdir(tmp_path / "images_2")
+
+
+def test_linemod_loader(tmp_path):
+    import imageio.v2 as imageio
+
+    from nerf_tpu.data.linemod import load_linemod_scene
+
+    rng = np.random.default_rng(0)
+    K = [[35.0, 0, 16], [0, 35.0, 16], [0, 0, 1]]
+    for split, n in [("train", 3), ("val", 2), ("test", 2)]:
+        frames = []
+        os.makedirs(tmp_path / split, exist_ok=True)
+        for i in range(n):
+            rel = f"./{split}/r_{i}.png"
+            imageio.imwrite(
+                str(tmp_path / split / f"r_{i}.png"),
+                rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+            )
+            pose = np.eye(4)
+            pose[2, 3] = 4.0
+            frames.append(
+                {
+                    "file_path": rel[:],
+                    "transform_matrix": pose.tolist(),
+                    "intrinsic_matrix": K,
+                }
+            )
+        meta = {"frames": frames, "near": 1.2, "far": 6.8}
+        (tmp_path / f"transforms_{split}.json").write_text(json.dumps(meta))
+
+    scene = load_linemod_scene(str(tmp_path), testskip=1)
+    assert scene.images.shape == (7, 32, 32, 3)
+    assert scene.near == 1.0 and scene.far == 7.0  # floor/ceil
+    assert scene.K[0, 0] == 35.0
+
+
+def test_deepvoxels_loader(tmp_path):
+    import imageio.v2 as imageio
+
+    from nerf_tpu.data.deepvoxels import load_deepvoxels_scene
+
+    rng = np.random.default_rng(0)
+    for split, n in [("train", 3), ("validation", 2), ("test", 2)]:
+        base = tmp_path / split / "greek"
+        os.makedirs(base / "pose")
+        os.makedirs(base / "rgb")
+        if split == "train":
+            (base / "intrinsics.txt").write_text(
+                "280.0 256.0 256.0\n0 0 0\n0.8\n1.0\n512 512\n0\n"
+            )
+        for i in range(n):
+            pose = np.eye(4)
+            pose[2, 3] = 2.5
+            (base / "pose" / f"{i:03d}.txt").write_text(
+                " ".join(str(x) for x in pose.reshape(-1))
+            )
+            imageio.imwrite(
+                str(base / "rgb" / f"{i:03d}.png"),
+                rng.integers(0, 255, (512, 512, 3), dtype=np.uint8),
+            )
+    scene = load_deepvoxels_scene(str(tmp_path), "greek", testskip=1)
+    assert scene.images.shape == (7, 512, 512, 3)
+    assert scene.H == 512
+    # hemisphere near/far: radius 2.5 -> (1.5, 3.5)
+    assert abs(scene.near - 1.5) < 1e-5 and abs(scene.far - 3.5) < 1e-5

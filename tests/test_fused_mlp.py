@@ -1,0 +1,119 @@
+"""Fused Pallas posenc+MLP kernel vs the jnp reference path.
+
+Runs in interpreter mode on CPU (tests/conftest.py forces cpu); on real TPU
+the same assertions run compiled (see bench / TPU smoke drives).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.models.embedding import PosEncConfig, posenc
+from nerf_tpu.models.nerf_mlp import MLPConfig, apply_mlp, init_params
+from nerf_tpu.ops import fused_mlp
+
+PE_P = PosEncConfig(10)
+PE_V = PosEncConfig(4)
+
+
+def _setup(seed=0):
+    cfg = MLPConfig(input_ch=63, input_ch_views=27)
+    params = init_params(jax.random.key(seed), cfg)
+    return cfg, params
+
+
+def _jnp_raw(params, cfg, pts, dirs):
+    R, S, _ = pts.shape
+    x_emb = posenc(pts.reshape(-1, 3), PE_P)
+    v_emb = posenc(
+        jnp.broadcast_to(dirs[:, None, :], (R, S, 3)).reshape(-1, 3), PE_V
+    )
+    return apply_mlp(params, cfg, x_emb, v_emb).reshape(R, S, 4)
+
+
+def _inputs(seed, R=4, S=96):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.uniform(-2, 2, (R, S, 3)).astype(np.float32))
+    dirs = rng.standard_normal((R, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return pts, jnp.asarray(dirs)
+
+
+def test_supports():
+    cfg, _ = _setup()
+    assert fused_mlp.supports(cfg, PE_P, PE_V)
+    assert not fused_mlp.supports(
+        MLPConfig(use_viewdirs=False), PE_P, PE_V
+    )
+    assert not fused_mlp.supports(MLPConfig(depth=4), PE_P, PE_V)
+
+
+def test_forward_matches_jnp_f32():
+    cfg, params = _setup()
+    pts, dirs = _inputs(0)
+    ref = _jnp_raw(params, cfg, pts, dirs)
+    out = fused_mlp.fused_query(params, cfg, PE_P, PE_V, pts, dirs,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_forward_padding_edge():
+    """N not a multiple of the tile: padding must not corrupt results."""
+    cfg, params = _setup(1)
+    pts, dirs = _inputs(1, R=3, S=77)  # 231 points
+    ref = _jnp_raw(params, cfg, pts, dirs)
+    out = fused_mlp.fused_query(params, cfg, PE_P, PE_V, pts, dirs,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_grads_match_jnp_f32():
+    cfg, params = _setup(2)
+    pts, dirs = _inputs(2, R=2, S=64)
+    target = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (2, 64, 4)).astype(np.float32)
+    )
+
+    def loss_fused(p):
+        out = fused_mlp.fused_query(p, cfg, PE_P, PE_V, pts, dirs,
+                                    compute_dtype=jnp.float32)
+        return jnp.mean((out - target) ** 2)
+
+    def loss_jnp(p):
+        return jnp.mean((_jnp_raw(p, cfg, pts, dirs) - target) ** 2)
+
+    g_fused = jax.grad(loss_fused)(params)
+    g_ref = jax.grad(loss_jnp)(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_input_grads_match_jnp_f32():
+    """dx (through posenc) and dv (through the view head) match autodiff."""
+    cfg, params = _setup(3)
+    pts, dirs = _inputs(4, R=2, S=32)
+
+    def f_fused(p_, d_):
+        return jnp.sum(
+            fused_mlp.fused_query(params, cfg, PE_P, PE_V, p_, d_,
+                                  compute_dtype=jnp.float32) ** 2
+        )
+
+    def f_jnp(p_, d_):
+        return jnp.sum(_jnp_raw(params, cfg, p_, d_) ** 2)
+
+    gx_f, gd_f = jax.grad(f_fused, argnums=(0, 1))(pts, dirs)
+    gx_r, gd_r = jax.grad(f_jnp, argnums=(0, 1))(pts, dirs)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd_f), np.asarray(gd_r), rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_forward_close_to_f32():
+    cfg, params = _setup(4)
+    pts, dirs = _inputs(5)
+    f32 = fused_mlp.fused_query(params, cfg, PE_P, PE_V, pts, dirs,
+                                compute_dtype=jnp.float32)
+    bf16 = fused_mlp.fused_query(params, cfg, PE_P, PE_V, pts, dirs,
+                                 compute_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(f32 - bf16))) < 0.25
