@@ -9,10 +9,21 @@ Baseline: 7.1k rays/s derived from the reference README (lego 100k iters in
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compile cache: the fused train step is a large program and the
+# first compile through the remote service is minutes; cache across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,46 +42,60 @@ def main():
     from nerf_tpu.render.renderer import RenderSettings
     from nerf_tpu.train.step import init_train_state, make_train_step
 
-    n_rand = 4096
     mcfg = MLPConfig(input_ch=63, input_ch_views=27, output_ch=5)
-    model = NeRFModel(
-        pe_pts=PosEncConfig(10),
-        pe_views=PosEncConfig(4),
-        coarse=mcfg,
-        fine=mcfg,
-        compute_dtype="bfloat16",
-    )
     rs = RenderSettings(
         n_samples=64, n_importance=128, perturb=True, white_bkgd=True,
         use_viewdirs=True,
     )
-    log(f"bench: devices={jax.devices()} N_rand={n_rand} samples=64+128 bf16")
 
-    params = init_model_params(jax.random.key(0), model)
-    state = init_train_state(params, 5e-4, 500)
-    step = make_train_step(model, rs, 5e-4, 500, donate=True)
+    def build(n_rand, fused):
+        model = NeRFModel(
+            pe_pts=PosEncConfig(10),
+            pe_views=PosEncConfig(4),
+            coarse=mcfg,
+            fine=mcfg,
+            compute_dtype="bfloat16",
+            fused=fused,
+        )
+        params = init_model_params(jax.random.key(0), model)
+        state = init_train_state(params, 5e-4, 500)
+        step = make_train_step(model, rs, 5e-4, 500, donate=True)
+        rng = np.random.default_rng(0)
+        batch = (
+            jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32) * 0.1),
+            jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32)),
+            jnp.full((n_rand,), 2.0, jnp.float32),
+            jnp.full((n_rand,), 6.0, jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (n_rand, 3)).astype(np.float32)),
+        )
+        return state, step, batch
 
-    rng = np.random.default_rng(0)
-    rays_o = jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32) * 0.1)
-    rays_d = jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32))
-    near = jnp.full((n_rand,), 2.0, jnp.float32)
-    far = jnp.full((n_rand,), 6.0, jnp.float32)
-    target = jnp.asarray(rng.uniform(0, 1, (n_rand, 3)).astype(np.float32))
     key = jax.random.key(0)
-
-    t0 = time.time()
-    state, aux = step(state, rays_o, rays_d, near, far, target, key)
-    jax.block_until_ready(state)
-    log(f"bench: first step (compile) {time.time()-t0:.1f}s loss={float(aux['loss']):.4f}")
+    state = step = batch = n_rand = None
+    # fused Pallas path first; unfused jnp fallback if the backend balks
+    for nr, fused in ((4096, True), (4096, False), (1024, False)):
+        log(f"bench: devices={jax.devices()} N_rand={nr} samples=64+128 bf16 fused={fused}")
+        try:
+            state, step, batch = build(nr, fused)
+            t0 = time.time()
+            state, aux = step(state, *batch, key)
+            jax.block_until_ready(state)
+            n_rand = nr
+            log(f"bench: first step (compile) {time.time()-t0:.1f}s loss={float(aux['loss']):.4f}")
+            break
+        except Exception as e:  # compiler/backend failure: try the next config
+            log(f"bench: config failed ({type(e).__name__}): {str(e)[:200]}")
+    if n_rand is None:
+        raise SystemExit("bench: no configuration compiled")
 
     for _ in range(3):  # warmup
-        state, aux = step(state, rays_o, rays_d, near, far, target, key)
+        state, aux = step(state, *batch, key)
     jax.block_until_ready(state)
 
     n_steps = 30
     t0 = time.time()
     for _ in range(n_steps):
-        state, aux = step(state, rays_o, rays_d, near, far, target, key)
+        state, aux = step(state, *batch, key)
     jax.block_until_ready(state)
     dt = time.time() - t0
 

@@ -1,0 +1,62 @@
+"""Multi-host (pod-slice) support.
+
+The reference is single-process/single-device; this is the TPU-native scaling
+layer from SURVEY.md §5: ``jax.distributed`` process group + per-host data
+feed. The mesh itself comes from parallel/mesh.py — with multiple hosts,
+``jax.devices()`` spans the slice and the same NamedSharding code shards rays
+globally over ICI/DCN.
+
+Per-host data policy (policy (a), use_batching): every host holds the full
+(small, <1 GB) ray buffer but samples only its own global-batch shard —
+``host_batch = N_rand // n_hosts`` rays per host per step, placed with
+``jax.make_array_from_process_local_data`` so XLA sees one global [N_rand]
+array sharded over 'data'. Results (loss/psnr) are identical to single-host
+because gradients are psum-reduced over the full batch either way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the jax.distributed process group (no-op single-process).
+
+    On TPU pods the three arguments auto-detect from the environment.
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def host_shard_slice(n_total: int) -> slice:
+    """This host's contiguous shard of a length-n_total global batch axis."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = n_total // n
+    return slice(i * per, (i + 1) * per)
+
+
+def global_batch_from_host_shards(mesh, host_arrays):
+    """Assemble per-host numpy shards into global arrays sharded over 'data'.
+
+    host_arrays: tuple of numpy arrays, each this host's [N_rand/n_hosts, ...]
+    shard. Returns jax Arrays with global shape [N_rand, ...].
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    out = tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a)) for a in host_arrays
+    )
+    return out if len(out) > 1 else out[0]
