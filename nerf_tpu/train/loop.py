@@ -178,9 +178,16 @@ def train(
     near_v = jnp.full((cfg.N_rand,), near, jnp.float32)
     far_v = jnp.full((cfg.N_rand,), far, jnp.float32)
 
+    try:
+        from tqdm import trange
+
+        step_iter = trange(start + 1, cfg.n_iters + 1, desc=cfg.expname)
+    except ImportError:
+        step_iter = range(start + 1, cfg.n_iters + 1)
+
     history = []
     t0 = time.time()
-    for i in range(start + 1, cfg.n_iters + 1):
+    for i in step_iter:
         if cfg.no_batching:
             rays_o, rays_d, target = sampler.next_batch(i)
         else:
@@ -198,6 +205,19 @@ def train(
             )
             history.append((i, loss, psnr))
             t0 = time.time()
+        if cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
+            # holdout-view PSNR (the reference's i_img logging is dead code,
+            # run_nerf.py:842-861; here it's live): render one val view
+            img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
+            out = render_image(
+                state.params, model, rs.eval_mode(), scene.H, scene.W,
+                jnp.asarray(scene.K), jnp.asarray(scene.poses[img_i]),
+                near, far, chunk=cfg.chunk,
+            )
+            holdout_psnr = float(
+                mse2psnr(img2mse(out["rgb_map"], jnp.asarray(scene.images[img_i])))
+            )
+            print(f"[EVAL] Iter: {i} holdout view {img_i} PSNR: {holdout_psnr:.3f}")
         if cfg.i_weights > 0 and i % cfg.i_weights == 0:
             path = ckpt_lib.save_checkpoint(cfg.basedir, cfg.expname, state)
             print("Saved checkpoints at", path)
