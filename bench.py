@@ -72,19 +72,36 @@ def main():
 
     key = jax.random.key(0)
     state = step = batch = n_rand = None
-    # fused Pallas path first; unfused jnp fallback if the backend balks
+    # fused Pallas path first; unfused jnp fallback if the backend balks.
+    # The remote compile service throws transient HTTP 500s — retry those
+    # (a success lands in the persistent cache and later runs are instant).
     for nr, fused in ((4096, True), (4096, False), (1024, False)):
-        log(f"bench: devices={jax.devices()} N_rand={nr} samples=64+128 bf16 fused={fused}")
-        try:
-            state, step, batch = build(nr, fused)
-            t0 = time.time()
-            state, aux = step(state, *batch, key)
-            jax.block_until_ready(state)
-            n_rand = nr
-            log(f"bench: first step (compile) {time.time()-t0:.1f}s loss={float(aux['loss']):.4f}")
+        attempts = 4
+        for attempt in range(attempts):
+            log(
+                f"bench: devices={jax.devices()} N_rand={nr} samples=64+128 "
+                f"bf16 fused={fused} (attempt {attempt + 1})"
+            )
+            try:
+                state, step, batch = build(nr, fused)
+                t0 = time.time()
+                state, aux = step(state, *batch, key)
+                jax.block_until_ready(state)
+                n_rand = nr
+                log(
+                    f"bench: first step (compile) {time.time()-t0:.1f}s "
+                    f"loss={float(aux['loss']):.4f}"
+                )
+                break
+            except Exception as e:
+                msg = str(e)
+                log(f"bench: config failed ({type(e).__name__}): {msg[:200]}")
+                transient = "HTTP 500" in msg or "UNAVAILABLE" in msg
+                if not transient:
+                    break  # real compiler rejection: fall to the next config
+                time.sleep(10)
+        if n_rand is not None:
             break
-        except Exception as e:  # compiler/backend failure: try the next config
-            log(f"bench: config failed ({type(e).__name__}): {str(e)[:200]}")
     if n_rand is None:
         raise SystemExit("bench: no configuration compiled")
 

@@ -81,6 +81,7 @@ class NeRFConfig:
     fused_kernels: bool = True  # Pallas fused posenc+MLP on TPU
     data_axis: int = 0  # devices on the 'data' mesh axis; 0 = all local devices
     donate_state: bool = True  # donate train state buffers into the jitted step
+    debug_nan: bool = False  # per-step non-finite loss scan (ref DEBUG, run_nerf.py:24)
 
     @property
     def ndc(self) -> bool:

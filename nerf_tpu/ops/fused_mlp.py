@@ -7,20 +7,25 @@ MFU). This kernel reads 6 floats/point (x, d), keeps ALL activations and the
 
 Design notes (TPU-first, not a translation):
 - The reference's embedding-concat (run_nerf_helpers.py:44-45) and trunk
-  skip-concat (run_nerf_helpers.py:102-103) are eliminated by a host-side
-  reparametrization: W0 [63,W] splits into (W0x[3,W], W0s[30,W], W0c[30,W])
-  row groups matched to the (identity, sin, cos) parts, and the skip layer
-  W5 [63+W, W] splits into an input part and a hidden part. Then
-      h0 = relu(x·W0x + sin(xb)·W0s + cos(xb)·W0c + b0),
-      h5 = relu(h4·W5h + x·W5x + sin(xb)·W5s + cos(xb)·W5c + b5),
-  with xb = x·S, S[d, f*3+d] = 2^f — a [3,30] selector matmul instead of any
-  lane shuffling. Same trick for the view head. The mapping is exact (a
-  permutation/partition of rows), so numerics match the reference wiring.
+  skip-concat (run_nerf_helpers.py:102-103) are realized WITHOUT any gather
+  or per-frequency matmuls: rows of W0 (and of the skip layer's input half,
+  and of the view layer's direction half) are permuted on the host into
+  [identity | all-sin (freq-major) | all-cos] order, the kernel builds the
+  matching embedding tensor ``e = [x, sin(x·S), cos(x·S)]`` with one [3,3F]
+  selector matmul + one lane-concat, and each embedding contribution is a
+  single full-K MXU pass (K=63 / K=27) instead of three small-K passes.
+- The alpha and feature heads share their input, so they run as ONE matmul
+  against ``Waf = [Wf | Wa]`` ([W, W+1]) and split by lane-slice.
 - Backward recomputes the forward per tile (remat) — residuals are just the
   6 input floats — and accumulates weight grads in VMEM f32 scratch across
-  the (sequential) grid, flushing on the last tile.
+  the (sequential) grid, flushing via revisited output blocks.
 - Matmuls run in the caller's compute dtype (bf16 on TPU) with f32
-  accumulation (preferred_element_type), f32 sin/cos.
+  accumulation (preferred_element_type), f32 sin/cos. f32 operands force
+  Precision.HIGHEST so the f32 mode is true-f32 (parity).
+
+The host-side repartitioning is exact (a permutation/partition of rows), so
+numerics match the reference wiring; pack_params is plain differentiable
+slicing/concat, so only the pallas op itself carries the custom VJP.
 
 Supports the reference architecture family: depth 8, skip after layer 4,
 viewdirs head, width any multiple of 128 (head W//2). Other configs fall back
@@ -49,13 +54,13 @@ BWD_TILE = 512
 _FWD_VMEM_BYTES = 48 * 1024 * 1024
 _BWD_VMEM_BYTES = 96 * 1024 * 1024
 
+_DEPTH = 8
+_SKIP = 4  # input re-concatenated after trunk layer index 4 -> layer 5 input
+
 
 def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (CPU tests, virtual meshes)."""
     return jax.default_backend() != "tpu"
-
-_DEPTH = 8
-_SKIP = 4  # input re-concatenated after trunk layer index 4 -> layer 5 input
 
 
 def supports(cfg: MLPConfig, pe_pts: PosEncConfig, pe_views) -> bool:
@@ -83,48 +88,46 @@ def _selector(num_freqs: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(S, dtype)
 
 
-def _split_emb_rows(W: jnp.ndarray, num_freqs: int):
-    """Split the first 3+6F rows of W (embedding-ordered: x, sin f0, cos f0,
-    sin f1, ...) into (Wx[3], Ws[3F], Wc[3F]) with (f,d) row order f*3+d."""
+def _reorder_emb_rows(W: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """Permute embedding-ordered rows (x, sin f0, cos f0, sin f1, ...) into
+    kernel order [x(3) | sin (f-major, 3F) | cos (3F)]."""
     Wx = W[:3]
     rest = W[3 : 3 + 6 * num_freqs].reshape(num_freqs, 2, 3, W.shape[-1])
     Ws = rest[:, 0].reshape(3 * num_freqs, W.shape[-1])
     Wc = rest[:, 1].reshape(3 * num_freqs, W.shape[-1])
-    return Wx, Ws, Wc
+    return jnp.concatenate([Wx, Ws, Wc], axis=0)
 
 
 def pack_params(params: Dict, cfg: MLPConfig, pe_pts: PosEncConfig,
                 pe_views: PosEncConfig, dtype) -> Dict[str, jnp.ndarray]:
     """Canonical pytree -> kernel layout. All ops are differentiable
-    (slice/reshape/cast), so packing participates in autodiff and only the
-    pallas op itself needs the custom VJP."""
+    (slice/reshape/concat/cast), so packing participates in autodiff and only
+    the pallas op itself needs the custom VJP."""
     Fp, Fv = pe_pts.num_freqs, pe_views.num_freqs
+    ep = 3 + 6 * Fp
     t = params["trunk"]
     kp = {}
-    kp["W0x"], kp["W0s"], kp["W0c"] = (
-        w.astype(dtype) for w in _split_emb_rows(t[0]["w"], Fp)
-    )
+    kp["W0e"] = _reorder_emb_rows(t[0]["w"], Fp).astype(dtype)
     kp["b0"] = t[0]["b"].astype(jnp.float32)[None, :]
     for i in range(1, _DEPTH):
         w = t[i]["w"]
         if i == _SKIP + 1:
             # skip layer input order: cat([x_emb, h]) (run_nerf_helpers.py:103)
-            kp["W5x"], kp["W5s"], kp["W5c"] = (
-                u.astype(dtype) for u in _split_emb_rows(w[: 3 + 6 * Fp], Fp)
-            )
-            kp[f"W{i}"] = w[3 + 6 * Fp :].astype(dtype)
+            kp["W5e"] = _reorder_emb_rows(w[:ep], Fp).astype(dtype)
+            kp[f"W{i}"] = w[ep:].astype(dtype)
         else:
             kp[f"W{i}"] = w.astype(dtype)
         kp[f"b{i}"] = t[i]["b"].astype(jnp.float32)[None, :]
-    kp["Wa"] = params["alpha"]["w"].astype(dtype)
-    kp["ba"] = params["alpha"]["b"].astype(jnp.float32)[None, :]
-    kp["Wf"] = params["feature"]["w"].astype(dtype)
-    kp["bf"] = params["feature"]["b"].astype(jnp.float32)[None, :]
+    # feature+alpha fused head: Waf = [Wf | Wa] -> [W, W+1]
+    kp["Waf"] = jnp.concatenate(
+        [params["feature"]["w"], params["alpha"]["w"]], axis=1
+    ).astype(dtype)
+    kp["baf"] = jnp.concatenate(
+        [params["feature"]["b"], params["alpha"]["b"]]
+    ).astype(jnp.float32)[None, :]
     wv = params["views"]["w"]  # [W + 3+6Fv, W/2], input order cat([feature, v_emb])
     kp["Wvf"] = wv[: cfg.width].astype(dtype)
-    kp["Wvx"], kp["Wvs"], kp["Wvc"] = (
-        u.astype(dtype) for u in _split_emb_rows(wv[cfg.width :], Fv)
-    )
+    kp["Wve"] = _reorder_emb_rows(wv[cfg.width :], Fv).astype(dtype)
     kp["bv"] = params["views"]["b"].astype(jnp.float32)[None, :]
     kp["Wr"] = params["rgb"]["w"].astype(dtype)
     kp["br"] = params["rgb"]["b"].astype(jnp.float32)[None, :]
@@ -162,79 +165,73 @@ def _dot_at(a, b):
 
 
 _KP_ORDER = [
-    "W0x", "W0s", "W0c", "b0",
+    "W0e", "b0",
     "W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4",
-    "W5", "W5x", "W5s", "W5c", "b5",
+    "W5", "W5e", "b5",
     "W6", "b6", "W7", "b7",
-    "Wa", "ba", "Wf", "bf",
-    "Wvf", "Wvx", "Wvs", "Wvc", "bv",
+    "Waf", "baf",
+    "Wvf", "Wve", "bv",
     "Wr", "br", "Sp", "Sv",
 ]
 
 
-def _emb_parts(x, v, kp, dtype):
-    """sin/cos features for points and dirs (f32 trig, cast to compute dtype)."""
+def _embed(x, v, kp, dtype):
+    """e [T, 63], ev [T, 27] in kernel row-order, plus xb/vb for bwd trig."""
     xb = _dot(x, kp["Sp"])
     vb = _dot(v, kp["Sv"])
-    return (
-        jnp.sin(xb).astype(dtype), jnp.cos(xb).astype(dtype),
-        jnp.sin(vb).astype(dtype), jnp.cos(vb).astype(dtype), xb, vb,
+    xc = x.astype(dtype)
+    vc = v.astype(dtype)
+    e = jnp.concatenate(
+        [xc, jnp.sin(xb).astype(dtype), jnp.cos(xb).astype(dtype)], axis=-1
     )
+    ev = jnp.concatenate(
+        [vc, jnp.sin(vb).astype(dtype), jnp.cos(vb).astype(dtype)], axis=-1
+    )
+    return e, ev, xb, vb
 
 
-def _trunk_forward(xc, sx, cx, kp, dtype, keep_acts=False):
+def _trunk_forward(e, kp, dtype, keep_acts=False):
     acts = []
-    h = jax.nn.relu(
-        _dot(xc, kp["W0x"]) + _dot(sx, kp["W0s"]) + _dot(cx, kp["W0c"]) + kp["b0"]
-    )
+    h = jax.nn.relu(_dot(e, kp["W0e"]) + kp["b0"])
     for i in range(1, _DEPTH):
         if keep_acts:
-            acts.append(h)
-        hin = h.astype(dtype)
-        z = _dot(hin, kp[f"W{i}"]) + kp[f"b{i}"]
+            acts.append(h.astype(dtype))
+        z = _dot(h.astype(dtype), kp[f"W{i}"]) + kp[f"b{i}"]
         if i == _SKIP + 1:
-            z = z + _dot(xc, kp["W5x"]) + _dot(sx, kp["W5s"]) + _dot(cx, kp["W5c"])
+            z = z + _dot(e, kp["W5e"])
         h = jax.nn.relu(z)
     if keep_acts:
-        acts.append(h)
+        acts.append(h.astype(dtype))
     return h, acts
 
 
-def _head_forward(h, vc, sv, cv, kp, dtype):
+def _head_forward(h, ev, kp, dtype, width):
     hc = h.astype(dtype)
-    alpha = _dot(hc, kp["Wa"]) + kp["ba"]
-    feat = _dot(hc, kp["Wf"]) + kp["bf"]
-    hv = jax.nn.relu(
-        _dot(feat.astype(dtype), kp["Wvf"])
-        + _dot(vc, kp["Wvx"]) + _dot(sv, kp["Wvs"]) + _dot(cv, kp["Wvc"])
-        + kp["bv"]
-    )
+    af = _dot(hc, kp["Waf"]) + kp["baf"]  # [T, W+1]
+    feat = af[:, :width]
+    alpha = af[:, width:]
+    hv = jax.nn.relu(_dot(feat.astype(dtype), kp["Wvf"]) + _dot(ev, kp["Wve"]) + kp["bv"])
     rgb = _dot(hv.astype(dtype), kp["Wr"]) + kp["br"]
     return alpha, feat, hv, rgb
 
 
-def _fwd_kernel(dtype, *refs):
+def _fwd_kernel(dtype, width, *refs):
     *kp_refs, x_ref, v_ref, out_ref = refs
     kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
-    x = x_ref[...]
-    v = v_ref[...]
-    sx, cx, sv, cv, _, _ = _emb_parts(x, v, kp, dtype)
-    xc = x.astype(dtype)
-    vc = v.astype(dtype)
-    h, _ = _trunk_forward(xc, sx, cx, kp, dtype)
-    alpha, _, _, rgb = _head_forward(h, vc, sv, cv, kp, dtype)
+    e, ev, _, _ = _embed(x_ref[...], v_ref[...], kp, dtype)
+    h, _ = _trunk_forward(e, kp, dtype)
+    alpha, _, _, rgb = _head_forward(h, ev, kp, dtype, width)
     out_ref[:, 0:3] = rgb
     out_ref[:, 3:4] = alpha
 
 
-def _make_bwd_kernel(dtype):
+def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v):
     n_kp = len(_KP_ORDER)
 
     def kernel(*refs):
         kp_refs = refs[:n_kp]
         x_ref, v_ref, g_ref = refs[n_kp : n_kp + 3]
         out_refs = refs[n_kp + 3 :]
-        # outputs: one grad per packed param (minus the selectors) + dx + dv
         d_names = [n for n in _KP_ORDER if not n.startswith("S")]
         douts = {f"d{n}": r for n, r in zip(d_names, out_refs[: len(d_names)])}
         dx_ref, dv_ref = out_refs[len(d_names)], out_refs[len(d_names) + 1]
@@ -244,19 +241,14 @@ def _make_bwd_kernel(dtype):
         v = v_ref[...]
         g = g_ref[...]
 
-        sx, cx, sv, cv, xb, vb = _emb_parts(x, v, kp, dtype)
-        xc = x.astype(dtype)
-        vc = v.astype(dtype)
+        e, ev, xb, vb = _embed(x, v, kp, dtype)
 
         # --- recompute forward, keeping activations ---
-        h7, acts = _trunk_forward(xc, sx, cx, kp, dtype, keep_acts=True)
-        # acts = [h0..h6], h7; index: acts[i] is output of trunk layer i
-        acts = acts[:-1]
-        alpha, feat, hv, rgb = _head_forward(h7, vc, sv, cv, kp, dtype)
+        h7, acts = _trunk_forward(e, kp, dtype, keep_acts=True)
+        acts = acts[:-1]  # [h0..h6]
+        alpha, feat, hv, rgb = _head_forward(h7, ev, kp, dtype, width)
 
-        pid = pl.program_id(0)
-        is_first = pid == 0
-        is_last = pid == pl.num_programs(0) - 1
+        is_first = pl.program_id(0) == 0
 
         accs = {}
 
@@ -273,59 +265,43 @@ def _make_bwd_kernel(dtype):
         d_hv_c = d_hv.astype(dtype)
 
         acc("dWvf", _dot_at(feat.astype(dtype), d_hv_c))
-        acc("dWvx", _dot_at(vc, d_hv_c))
-        acc("dWvs", _dot_at(sv, d_hv_c))
-        acc("dWvc", _dot_at(cv, d_hv_c))
+        acc("dWve", _dot_at(ev, d_hv_c))
         acc("dbv", jnp.sum(d_hv, axis=0, keepdims=True))
 
         d_feat = _dot_t(d_hv_c, kp["Wvf"])
-        # dv: direct + through sin/cos of vb
-        d_vb = _dot_t(d_hv_c, kp["Wvs"]) * jnp.cos(vb) - _dot_t(
-            d_hv_c, kp["Wvc"]
-        ) * jnp.sin(vb)
-        dv = _dot_t(d_hv_c, kp["Wvx"]).astype(jnp.float32) + _dot_t(
+        d_ev = _dot_t(d_hv_c, kp["Wve"])  # [T, 27]
+        fv3 = 3 * n_freq_v
+        d_vb = d_ev[:, 3 : 3 + fv3] * jnp.cos(vb) - d_ev[:, 3 + fv3 :] * jnp.sin(vb)
+        dv = d_ev[:, :3].astype(jnp.float32) + _dot_t(
             d_vb.astype(jnp.float32), kp["Sv"]
         )
 
-        acc("dWa", _dot_at(h7.astype(dtype), g_a.astype(dtype)))
-        acc("dba", jnp.sum(g_a, axis=0, keepdims=True))
-        acc("dWf", _dot_at(h7.astype(dtype), d_feat.astype(dtype)))
-        acc("dbf", jnp.sum(d_feat, axis=0, keepdims=True))
+        d_af = jnp.concatenate([d_feat, g_a], axis=-1).astype(dtype)  # [T, W+1]
+        acc("dWaf", _dot_at(h7.astype(dtype), d_af))
+        acc("dbaf", jnp.sum(d_af.astype(jnp.float32), axis=0, keepdims=True))
 
-        d_h = (
-            _dot_t(d_feat.astype(dtype), kp["Wf"])
-            + _dot_t(g_a.astype(dtype), kp["Wa"])
-        ) * (h7 > 0)
+        d_h = _dot_t(d_af, kp["Waf"]) * (h7 > 0)
 
         # --- trunk backward ---
-        dxb_acc = None
-        dx_direct = None
+        d_e5 = None
         for i in range(_DEPTH - 1, 0, -1):
             d_c = d_h.astype(dtype)
             a_prev = acts[i - 1]
-            acc(f"dW{i}", _dot_at(a_prev.astype(dtype), d_c))
+            acc(f"dW{i}", _dot_at(a_prev, d_c))
             acc(f"db{i}", jnp.sum(d_h, axis=0, keepdims=True))
             if i == _SKIP + 1:
-                acc("dW5x", _dot_at(xc, d_c))
-                acc("dW5s", _dot_at(sx, d_c))
-                acc("dW5c", _dot_at(cx, d_c))
-                dxb_acc = _dot_t(d_c, kp["W5s"]) * jnp.cos(xb) - _dot_t(
-                    d_c, kp["W5c"]
-                ) * jnp.sin(xb)
-                dx_direct = _dot_t(d_c, kp["W5x"]).astype(jnp.float32)
+                acc("dW5e", _dot_at(e, d_c))
+                d_e5 = _dot_t(d_c, kp["W5e"])
             d_h = _dot_t(d_c, kp[f"W{i}"]) * (a_prev > 0)
 
         d0 = d_h.astype(dtype)
-        acc("dW0x", _dot_at(xc, d0))
-        acc("dW0s", _dot_at(sx, d0))
-        acc("dW0c", _dot_at(cx, d0))
+        acc("dW0e", _dot_at(e, d0))
         acc("db0", jnp.sum(d_h, axis=0, keepdims=True))
-        dxb0 = _dot_t(d0, kp["W0s"]) * jnp.cos(xb) - _dot_t(d0, kp["W0c"]) * jnp.sin(xb)
-        dxb_total = dxb0 + (dxb_acc if dxb_acc is not None else 0.0)
-        dx = (
-            _dot_t(d0, kp["W0x"]).astype(jnp.float32)
-            + (dx_direct if dx_direct is not None else 0.0)
-            + _dot_t(dxb_total.astype(jnp.float32), kp["Sp"])
+        d_e = _dot_t(d0, kp["W0e"]) + d_e5
+        fp3 = 3 * n_freq_p
+        d_xb = d_e[:, 3 : 3 + fp3] * jnp.cos(xb) - d_e[:, 3 + fp3 :] * jnp.sin(xb)
+        dx = d_e[:, :3].astype(jnp.float32) + _dot_t(
+            d_xb.astype(jnp.float32), kp["Sp"]
         )
 
         dx_ref[...] = dx
@@ -354,16 +330,16 @@ def _pad_to(x, mult):
     return x
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_op(kp: Dict, x: jnp.ndarray, v: jnp.ndarray, dtype) -> jnp.ndarray:
-    return _fused_fwd_impl(kp, x, v, dtype)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_op(kp: Dict, x, v, dtype, width, n_freq_p, n_freq_v):
+    return _fused_fwd_impl(kp, x, v, dtype, width)
 
 
 def _kp_list(kp):
     return [kp[n] for n in _KP_ORDER]
 
 
-def _fused_fwd_impl(kp, x, v, dtype):
+def _fused_fwd_impl(kp, x, v, dtype, width):
     n = x.shape[0]
     xp = _pad_to(x, FWD_TILE)
     vp = _pad_to(v, FWD_TILE)
@@ -371,7 +347,7 @@ def _fused_fwd_impl(kp, x, v, dtype):
 
     kp_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _KP_ORDER]
     out = pl.pallas_call(
-        partial(_fwd_kernel, dtype),
+        partial(_fwd_kernel, dtype, width),
         grid=(grid,),
         in_specs=kp_specs
         + [
@@ -386,11 +362,11 @@ def _fused_fwd_impl(kp, x, v, dtype):
     return out[:n]
 
 
-def _fused_fwd_rule(kp, x, v, dtype):
-    return _fused_fwd_impl(kp, x, v, dtype), (kp, x, v)
+def _fused_fwd_rule(kp, x, v, dtype, width, n_freq_p, n_freq_v):
+    return _fused_fwd_impl(kp, x, v, dtype, width), (kp, x, v)
 
 
-def _fused_bwd_rule(dtype, res, g):
+def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, res, g):
     kp, x, v = res
     n = x.shape[0]
     xp = _pad_to(x, BWD_TILE)
@@ -411,11 +387,10 @@ def _fused_bwd_rule(dtype, res, g):
     dkp_shapes = [jax.ShapeDtypeStruct(kp[n_].shape, jnp.float32) for n_ in d_names]
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(dtype),
+        _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v),
         grid=(grid,),
         in_specs=kp_specs + [tile_spec3, tile_spec3, tile_spec4],
-        out_specs=dkp_specs
-        + [tile_spec3, tile_spec3],
+        out_specs=dkp_specs + [tile_spec3, tile_spec3],
         out_shape=dkp_shapes
         + [
             jax.ShapeDtypeStruct((xp.shape[0], 3), jnp.float32),
@@ -451,5 +426,7 @@ def fused_query(
     kp = pack_params(params, cfg, pe_pts, pe_views, compute_dtype)
     x = pts.reshape(R * S, 3)
     v = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(R * S, 3)
-    out = _fused_op(kp, x, v, compute_dtype)
+    out = _fused_op(
+        kp, x, v, compute_dtype, cfg.width, pe_pts.num_freqs, pe_views.num_freqs
+    )
     return out.reshape(R, S, 4)

@@ -1,0 +1,58 @@
+"""Multi-scene concurrent training (the BASELINE.json throughput-sweep shape:
+"all 8 blender scenes trained concurrently, one scene per host group").
+
+TPU-native design: training S independent scenes is a vmap over the scene
+axis of the SAME train step — one compiled program updating S stacked
+parameter pytrees from S ray batches. On a pod slice, shard the scene axis
+over the mesh ('scene' axis = host groups) and each group trains its scene
+with zero cross-scene communication; on one chip, the S MLPs batch into
+larger MXU work (S small matmuls become one [S, ...] batched matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.render.network import NeRFModel
+from nerf_tpu.render.renderer import RenderSettings
+from nerf_tpu.train.step import TrainState, init_train_state, make_train_step_fn
+
+
+def stack_states(states) -> TrainState:
+    """Stack S per-scene TrainStates into one leading-axis-S state."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *states)
+
+
+def unstack_states(state: TrainState, n: int):
+    return [jax.tree.map(lambda x: x[i], state) for i in range(n)]
+
+
+def init_multi_scene_state(
+    key: jax.Array, n_scenes: int, init_params_fn, lrate: float, lrate_decay: int
+) -> TrainState:
+    keys = jax.random.split(key, n_scenes)
+    states = [
+        init_train_state(init_params_fn(k), lrate, lrate_decay) for k in keys
+    ]
+    return stack_states(states)
+
+
+def make_multi_scene_step(
+    model: NeRFModel,
+    rs: RenderSettings,
+    lrate: float,
+    lrate_decay: int,
+    donate: bool = True,
+    hwf=None,
+):
+    """vmapped train step.
+
+    Returned fn: (stacked_state, rays_o[S,N,3], rays_d[S,N,3], near[S,N],
+    far[S,N], target[S,N,3], keys[S]) -> (stacked_state, aux dict of [S]).
+    """
+    step_fn = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
+    vstep = jax.vmap(step_fn)
+    return jax.jit(vstep, donate_argnums=(0,) if donate else ())

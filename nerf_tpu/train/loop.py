@@ -194,6 +194,10 @@ def train(
             rays_o, rays_d, target = sampler.next_batch()
         state, aux = step_fn(state, rays_o, rays_d, near_v, far_v, target, k_step)
 
+        if cfg.debug_nan and not np.isfinite(float(aux["loss"])):
+            # ref DEBUG NaN scan (run_nerf.py:414-416) — here it also stops
+            raise FloatingPointError(f"non-finite loss at step {i}")
+
         if i % cfg.i_print == 0:
             loss = float(aux["loss"])
             psnr = float(aux["psnr"])
