@@ -292,7 +292,8 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v):
             if i == _SKIP + 1:
                 acc("dW5e", _dot_at(e, d_c))
                 d_e5 = _dot_t(d_c, kp["W5e"])
-            d_h = _dot_t(d_c, kp[f"W{i}"]) * (a_prev > 0)
+            # relu mask in f32: Mosaic on v5e rejects bf16 vector compares
+            d_h = _dot_t(d_c, kp[f"W{i}"]) * (a_prev.astype(jnp.float32) > 0)
 
         d0 = d_h.astype(dtype)
         acc("dW0e", _dot_at(e, d0))
