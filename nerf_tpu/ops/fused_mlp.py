@@ -46,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from nerf_tpu.models.embedding import PosEncConfig
 from nerf_tpu.models.nerf_mlp import MLPConfig
 
-FWD_TILE = 1024
-BWD_TILE = 512
+import os as _os
+
+FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "1024"))
+BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "1024"))
 # bwd holds 8 trunk activations + weight-grad accumulators + weights (all
 # double-buffered by Mosaic) — beyond the default 16 MB scoped-vmem limit,
 # so raise it explicitly (v5e has headroom above the default).
@@ -175,19 +177,43 @@ _KP_ORDER = [
 ]
 
 
-def _embed(x, v, kp, dtype):
-    """e [T, 63], ev [T, 27] in kernel row-order, plus xb/vb for bwd trig."""
+def _embed_pts(x, kp, dtype):
+    """e [T, 63] in kernel row-order, plus xb for bwd trig."""
     xb = _dot(x, kp["Sp"])
-    vb = _dot(v, kp["Sv"])
-    xc = x.astype(dtype)
-    vc = v.astype(dtype)
     e = jnp.concatenate(
-        [xc, jnp.sin(xb).astype(dtype), jnp.cos(xb).astype(dtype)], axis=-1
+        [x.astype(dtype), jnp.sin(xb).astype(dtype), jnp.cos(xb).astype(dtype)],
+        axis=-1,
     )
+    return e, xb
+
+
+def _embed_views(v, kp, dtype):
+    """ev [RV, 27] in kernel row-order, plus vb for bwd trig.
+
+    RV is the number of *rays* in the tile (ray-major mode) or the number of
+    points (dense mode, samples_per_ray == 1)."""
+    vb = _dot(v, kp["Sv"])
     ev = jnp.concatenate(
-        [vc, jnp.sin(vb).astype(dtype), jnp.cos(vb).astype(dtype)], axis=-1
+        [v.astype(dtype), jnp.sin(vb).astype(dtype), jnp.cos(vb).astype(dtype)],
+        axis=-1,
     )
-    return e, ev, xb, vb
+    return ev, vb
+
+
+def _per_ray_to_per_point(x_ray, spr):
+    """[RV, C] -> [RV*spr, C] (each ray row repeated for its spr samples)."""
+    if spr == 1:
+        return x_ray
+    rv, c = x_ray.shape
+    return jnp.broadcast_to(x_ray[:, None, :], (rv, spr, c)).reshape(rv * spr, c)
+
+
+def _per_point_to_per_ray(x_pt, spr):
+    """[RV*spr, C] -> [RV, C] by summing each ray's spr sample rows."""
+    if spr == 1:
+        return x_pt
+    n, c = x_pt.shape
+    return jnp.sum(x_pt.reshape(n // spr, spr, c), axis=1)
 
 
 def _trunk_forward(e, kp, dtype, keep_acts=False):
@@ -205,27 +231,31 @@ def _trunk_forward(e, kp, dtype, keep_acts=False):
     return h, acts
 
 
-def _head_forward(h, ev, kp, dtype, width):
+def _head_forward(h, ev, kp, dtype, width, spr):
+    """ev is per-ray [RV, 27]; its Wve contribution is computed per ray and
+    broadcast to the tile's RV*spr points (spr=1 -> dense/per-point mode)."""
     hc = h.astype(dtype)
     af = _dot(hc, kp["Waf"]) + kp["baf"]  # [T, W+1]
     feat = af[:, :width]
     alpha = af[:, width:]
-    hv = jax.nn.relu(_dot(feat.astype(dtype), kp["Wvf"]) + _dot(ev, kp["Wve"]) + kp["bv"])
+    ev_contrib = _per_ray_to_per_point(_dot(ev, kp["Wve"]), spr)
+    hv = jax.nn.relu(_dot(feat.astype(dtype), kp["Wvf"]) + ev_contrib + kp["bv"])
     rgb = _dot(hv.astype(dtype), kp["Wr"]) + kp["br"]
     return alpha, feat, hv, rgb
 
 
-def _fwd_kernel(dtype, width, *refs):
+def _fwd_kernel(dtype, width, spr, *refs):
     *kp_refs, x_ref, v_ref, out_ref = refs
     kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
-    e, ev, _, _ = _embed(x_ref[...], v_ref[...], kp, dtype)
+    e, _ = _embed_pts(x_ref[...], kp, dtype)
+    ev, _ = _embed_views(v_ref[...], kp, dtype)
     h, _ = _trunk_forward(e, kp, dtype)
-    alpha, _, _, rgb = _head_forward(h, ev, kp, dtype, width)
+    alpha, _, _, rgb = _head_forward(h, ev, kp, dtype, width, spr)
     out_ref[:, 0:3] = rgb
     out_ref[:, 3:4] = alpha
 
 
-def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v):
+def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
     n_kp = len(_KP_ORDER)
 
     def kernel(*refs):
@@ -241,12 +271,13 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v):
         v = v_ref[...]
         g = g_ref[...]
 
-        e, ev, xb, vb = _embed(x, v, kp, dtype)
+        e, xb = _embed_pts(x, kp, dtype)
+        ev, vb = _embed_views(v, kp, dtype)
 
         # --- recompute forward, keeping activations ---
         h7, acts = _trunk_forward(e, kp, dtype, keep_acts=True)
         acts = acts[:-1]  # [h0..h6]
-        alpha, feat, hv, rgb = _head_forward(h7, ev, kp, dtype, width)
+        alpha, feat, hv, rgb = _head_forward(h7, ev, kp, dtype, width, spr)
 
         is_first = pl.program_id(0) == 0
 
@@ -265,11 +296,14 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v):
         d_hv_c = d_hv.astype(dtype)
 
         acc("dWvf", _dot_at(feat.astype(dtype), d_hv_c))
-        acc("dWve", _dot_at(ev, d_hv_c))
+        # view branch per ray: dWve = ev^T (Σ_samples d_hv); d_ev likewise
+        d_hv_ray = _per_point_to_per_ray(d_hv, spr)  # [RV, W/2] f32
+        d_hv_ray_c = d_hv_ray.astype(dtype)
+        acc("dWve", _dot_at(ev, d_hv_ray_c))
         acc("dbv", jnp.sum(d_hv, axis=0, keepdims=True))
 
         d_feat = _dot_t(d_hv_c, kp["Wvf"])
-        d_ev = _dot_t(d_hv_c, kp["Wve"])  # [T, 27]
+        d_ev = _dot_t(d_hv_ray_c, kp["Wve"])  # [RV, 27]
         fv3 = 3 * n_freq_v
         d_vb = d_ev[:, 3 : 3 + fv3] * jnp.cos(vb) - d_ev[:, 3 + fv3 :] * jnp.sin(vb)
         dv = d_ev[:, :3].astype(jnp.float32) + _dot_t(
@@ -323,7 +357,7 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v):
     return kernel
 
 
-def _pad_to(x, mult):
+def _pad_rows(x, mult):
     n = x.shape[0]
     pad = (-n) % mult
     if pad:
@@ -331,31 +365,46 @@ def _pad_to(x, mult):
     return x
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_op(kp: Dict, x, v, dtype, width, n_freq_p, n_freq_v):
-    return _fused_fwd_impl(kp, x, v, dtype, width)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_op(kp: Dict, x, v, dtype, width, n_freq_p, n_freq_v, spr):
+    """x: [R*spr, 3] points; v: [R, 3] per-ray dirs (spr=1 -> v per point)."""
+    return _fused_fwd_impl(kp, x, v, dtype, width, spr)
 
 
 def _kp_list(kp):
     return [kp[n] for n in _KP_ORDER]
 
 
-def _fused_fwd_impl(kp, x, v, dtype, width):
+def _tile_geometry(tile_budget, spr):
+    """Rays per tile and point-rows per tile for a given sample count.
+
+    The per-ray viewdir block is [rpt, 3], and Mosaic requires its sublane
+    dim divisible by 8 — so rpt is kept a multiple of 8 (rounding the
+    points-per-tile budget up when spr is large)."""
+    if spr == 1:
+        return tile_budget, tile_budget
+    rpt = max(1, tile_budget // spr)
+    rpt = max(8, rpt - rpt % 8)
+    return rpt, rpt * spr
+
+
+def _fused_fwd_impl(kp, x, v, dtype, width, spr):
     n = x.shape[0]
-    xp = _pad_to(x, FWD_TILE)
-    vp = _pad_to(v, FWD_TILE)
-    grid = xp.shape[0] // FWD_TILE
+    rpt, tile = _tile_geometry(FWD_TILE, spr)
+    vp = _pad_rows(v, rpt)
+    xp = _pad_rows(x, tile)
+    grid = xp.shape[0] // tile
 
     kp_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _KP_ORDER]
     out = pl.pallas_call(
-        partial(_fwd_kernel, dtype, width),
+        partial(_fwd_kernel, dtype, width, spr),
         grid=(grid,),
         in_specs=kp_specs
         + [
-            pl.BlockSpec((FWD_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FWD_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((FWD_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FWD_VMEM_BYTES),
         interpret=_interpret(),
@@ -363,22 +412,25 @@ def _fused_fwd_impl(kp, x, v, dtype, width):
     return out[:n]
 
 
-def _fused_fwd_rule(kp, x, v, dtype, width, n_freq_p, n_freq_v):
-    return _fused_fwd_impl(kp, x, v, dtype, width), (kp, x, v)
+def _fused_fwd_rule(kp, x, v, dtype, width, n_freq_p, n_freq_v, spr):
+    return _fused_fwd_impl(kp, x, v, dtype, width, spr), (kp, x, v)
 
 
-def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, res, g):
+def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, res, g):
     kp, x, v = res
     n = x.shape[0]
-    xp = _pad_to(x, BWD_TILE)
-    vp = _pad_to(v, BWD_TILE)
-    gp = _pad_to(g, BWD_TILE)  # zero cotangent in padding -> no grad pollution
-    grid = xp.shape[0] // BWD_TILE
+    nv = v.shape[0]
+    rpt, tile = _tile_geometry(BWD_TILE, spr)
+    vp = _pad_rows(v, rpt)
+    xp = _pad_rows(x, tile)
+    gp = _pad_rows(g, tile)  # zero cotangent in padding -> no grad pollution
+    grid = xp.shape[0] // tile
 
     d_names = [n_ for n_ in _KP_ORDER if not n_.startswith("S")]
     kp_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _KP_ORDER]
-    tile_spec3 = pl.BlockSpec((BWD_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    tile_spec4 = pl.BlockSpec((BWD_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile_spec3 = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile_spec4 = pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec3 = pl.BlockSpec((rpt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     # weight-grad outputs live at block (0,0) for every grid step (accumulated)
     dkp_specs = [
@@ -388,14 +440,14 @@ def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, res, g):
     dkp_shapes = [jax.ShapeDtypeStruct(kp[n_].shape, jnp.float32) for n_ in d_names]
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v),
+        _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr),
         grid=(grid,),
-        in_specs=kp_specs + [tile_spec3, tile_spec3, tile_spec4],
-        out_specs=dkp_specs + [tile_spec3, tile_spec3],
+        in_specs=kp_specs + [tile_spec3, ray_spec3, tile_spec4],
+        out_specs=dkp_specs + [tile_spec3, ray_spec3],
         out_shape=dkp_shapes
         + [
             jax.ShapeDtypeStruct((xp.shape[0], 3), jnp.float32),
-            jax.ShapeDtypeStruct((xp.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((vp.shape[0], 3), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_BWD_VMEM_BYTES),
         interpret=_interpret(),
@@ -405,7 +457,7 @@ def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, res, g):
     dkp["Sp"] = jnp.zeros_like(kp["Sp"])
     dkp["Sv"] = jnp.zeros_like(kp["Sv"])
     dx = outs[len(d_names)][:n]
-    dv = outs[len(d_names) + 1][:n]
+    dv = outs[len(d_names) + 1][:nv]
     return dkp, dx, dv
 
 
@@ -422,12 +474,23 @@ def fused_query(
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Drop-in replacement for the jnp query path: pts [R,S,3], viewdirs [R,3]
-    -> raw [R,S,4]."""
+    -> raw [R,S,4].
+
+    Ray-major mode (S a multiple of 8): viewdirs stay [R,3] end-to-end — the
+    kernel computes the 27-dim view embedding and its Wve matmul once per RAY
+    and broadcasts in VMEM, instead of materializing the [R*S,3] broadcast in
+    HBM (and its sum-transpose on the backward pass). Falls back to the dense
+    per-point layout (spr=1) for sample counts Mosaic can't reshape on.
+    """
     R, S, _ = pts.shape
     kp = pack_params(params, cfg, pe_pts, pe_views, compute_dtype)
     x = pts.reshape(R * S, 3)
-    v = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(R * S, 3)
+    if S % 8 == 0 and S > 1:
+        v, spr = viewdirs, S
+    else:
+        v = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(R * S, 3)
+        spr = 1
     out = _fused_op(
-        kp, x, v, compute_dtype, cfg.width, pe_pts.num_freqs, pe_views.num_freqs
+        kp, x, v, compute_dtype, cfg.width, pe_pts.num_freqs, pe_views.num_freqs, spr
     )
     return out.reshape(R, S, 4)
