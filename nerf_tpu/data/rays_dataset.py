@@ -70,8 +70,15 @@ class BatchedRaySampler:
         self.i_batch = 0
 
     def next_batch(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        if self.i_batch + self.n_rand > self.n_total:
-            self._reshuffle()  # epoch boundary (ref run_nerf.py:722-726)
+        if self.i_batch + self.n_rand > self.perm.shape[0]:
+            # Epoch boundary (ref run_nerf.py:722-726). The reference emits one
+            # SHORT batch here; under jit batch shapes must be static, so
+            # instead the window wraps: remainder of the old permutation +
+            # head of the new one. Every ray is consumed exactly once per
+            # epoch either way.
+            tail = self.perm[self.i_batch :]
+            self._reshuffle()
+            self.perm = jnp.concatenate([tail, self.perm])
         ro, rd, rgb = _gather_window(
             self.buffer, self.perm, self.i_batch, self.n_rand
         )

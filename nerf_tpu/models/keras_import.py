@@ -18,7 +18,15 @@ from nerf_tpu.models.nerf_mlp import MLPConfig, Params
 
 def params_from_keras(weights: Sequence[np.ndarray], cfg: MLPConfig) -> Params:
     if not cfg.use_viewdirs:
-        raise NotImplementedError("keras import requires use_viewdirs=True")
+        # same restriction as the reference's own assert
+        # (run_nerf_helpers.py:123 "Not implemented if use_viewdirs=False"):
+        # the Keras reference weights were exported from the viewdirs model,
+        # so there is no no-viewdirs layout to map from.
+        raise ValueError(
+            "params_from_keras only supports use_viewdirs=True: the TF/Keras "
+            "reference checkpoint layout has feature/alpha/views/rgb heads "
+            "(ref run_nerf_helpers.py:121-148)"
+        )
 
     def pair(i):
         return {

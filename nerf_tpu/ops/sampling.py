@@ -66,17 +66,6 @@ def stratified_z_vals(
     return z_vals
 
 
-def _searchsorted_right(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Batched searchsorted(cdf, u, side='right').
-
-    cdf: [..., M] sorted; u: [..., N]. Returns int32 [..., N] in [0, M].
-    Lane-parallel comparison count — no sequential bisection, TPU-friendly.
-    """
-    return jnp.sum(
-        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
-    )
-
-
 def sample_pdf(
     bins: jnp.ndarray,
     weights: jnp.ndarray,

@@ -135,6 +135,25 @@ def test_batched_sampler_epoch_coverage():
     )
 
 
+def test_batched_sampler_consumes_remainder():
+    """Epoch remainder is not dropped: when n_rand does not divide the buffer,
+    the window wraps across the epoch boundary (the reference instead emits
+    one short batch, run_nerf.py:715-726 — same full coverage, static shape
+    here)."""
+    scene = make_scene(n_train=2, n_test=1, H=8, W=8)
+    n_total = 2 * 8 * 8  # 128
+    n_rand = 48  # 128 = 2*48 + 32 -> remainder 32 must still be consumed
+    sampler = BatchedRaySampler(scene, n_rand=n_rand, key=jax.random.key(0))
+    epoch1 = np.concatenate(
+        [np.asarray(sampler.next_batch()[2]) for _ in range(3)], 0
+    )  # 144 rays = full epoch 1 (128) + first 16 of epoch 2
+    buf = np.asarray(sampler.buffer)[:, 2]
+    keys = np.round(epoch1.sum(-1), 6)
+    buf_keys = np.round(buf.sum(-1), 6)
+    # first 128 draws cover the whole buffer exactly once
+    np.testing.assert_allclose(np.sort(keys[:n_total]), np.sort(buf_keys), rtol=1e-6)
+
+
 def test_image_sampler_precrop_bounds():
     """Policy (b): during precrop, sampled pixels stay in the center crop."""
     scene = make_scene(n_train=3, n_test=1, H=16, W=16)
