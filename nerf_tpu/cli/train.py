@@ -9,11 +9,17 @@ from __future__ import annotations
 import sys
 
 from nerf_tpu.config import load_config
+from nerf_tpu.parallel import distributed
 from nerf_tpu.train.loop import train
 
 
 def main(argv=None):
     cfg = load_config(argv)
+    # bring up the multi-host process group before any backend init; no-op
+    # for single-process runs (SURVEY.md §5 distributed backend)
+    distributed.initialize(
+        cfg.coordinator_address, cfg.num_processes, cfg.process_id
+    )
     train(cfg)
 
 

@@ -79,7 +79,11 @@ class NeRFConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"  # matmul dtype; "float32" for strict parity
     fused_kernels: bool = True  # Pallas fused posenc+MLP on TPU
-    data_axis: int = 0  # devices on the 'data' mesh axis; 0 = all local devices
+    data_axis: int = 0  # devices on the 'data' mesh axis; 0 = all, 1 = no mesh
+    # multi-host (pod slice) process group; all three auto-detect on TPU pods
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     donate_state: bool = True  # donate train state buffers into the jitted step
     debug_nan: bool = False  # per-step non-finite loss scan (ref DEBUG, run_nerf.py:24)
 
@@ -104,12 +108,12 @@ def _coerce(name: str, value: str):
     value = value.strip()
     if name in _BOOL_FLAGS:
         return value.lower() in ("true", "1", "yes")
-    if t in ("int", int):
+    if value == "None":
+        return None
+    if t in ("int", "Optional[int]", int):
         return int(value)
     if t in ("float", float):
         return float(value)
-    if value == "None":
-        return None
     return value
 
 

@@ -45,7 +45,6 @@ def build_ray_buffer(scene: Scene) -> np.ndarray:
     return np.reshape(rays_rgb, [-1, 3, 3]).astype(np.float32)
 
 
-@partial(jax.jit, static_argnums=(3,))
 def _gather_window(buffer, perm, offset, n_rand):
     idx = jax.lax.dynamic_slice_in_dim(perm, offset, n_rand)
     batch = buffer[idx]  # [n_rand, 3, 3]
@@ -53,15 +52,33 @@ def _gather_window(buffer, perm, offset, n_rand):
 
 
 class BatchedRaySampler:
-    """Policy (a): epoch-shuffled window over the global ray buffer."""
+    """Policy (a): epoch-shuffled window over the global ray buffer.
 
-    def __init__(self, scene: Scene, n_rand: int, key: jax.Array):
+    ``sharding`` (a NamedSharding over the mesh's 'data' axis) makes the
+    jitted gather emit each batch already sharded for the DP train step — the
+    buffer is replicated across the mesh and every device gathers its own
+    ray shard; no host round-trip, no post-hoc resharding copy. Host-side
+    control flow (key splits, i_batch) is identical on every process, so the
+    same code is multi-host correct: the buffer/perm become global replicated
+    arrays and each host's devices materialize only their shard.
+    """
+
+    def __init__(self, scene: Scene, n_rand: int, key: jax.Array, sharding=None):
         self.n_rand = n_rand
         self.buffer = jnp.asarray(build_ray_buffer(scene))
+        if sharding is not None:
+            rep = jax.sharding.NamedSharding(
+                sharding.mesh, jax.sharding.PartitionSpec()
+            )
+            self.buffer = jax.device_put(self.buffer, rep)
         self.n_total = self.buffer.shape[0]
         self.key = key
         self.perm = None
         self.i_batch = 0
+        out_sh = None if sharding is None else (sharding, sharding, sharding)
+        self._gather = jax.jit(
+            _gather_window, static_argnums=(3,), out_shardings=out_sh
+        )
         self._reshuffle()
 
     def _reshuffle(self):
@@ -79,7 +96,7 @@ class BatchedRaySampler:
             tail = self.perm[self.i_batch :]
             self._reshuffle()
             self.perm = jnp.concatenate([tail, self.perm])
-        ro, rd, rgb = _gather_window(
+        ro, rd, rgb = self._gather(
             self.buffer, self.perm, self.i_batch, self.n_rand
         )
         self.i_batch += self.n_rand
@@ -122,6 +139,7 @@ class ImageRaySampler:
         key: jax.Array,
         precrop_iters: int = 0,
         precrop_frac: float = 0.5,
+        sharding=None,
     ):
         self.H, self.W = scene.H, scene.W
         self.n_rand = n_rand
@@ -130,13 +148,24 @@ class ImageRaySampler:
         self.poses = jnp.asarray(scene.poses)
         self.i_train = jnp.asarray(scene.i_train)
         self.K = jnp.asarray(scene.K)
+        if sharding is not None:
+            rep = jax.sharding.NamedSharding(
+                sharding.mesh, jax.sharding.PartitionSpec()
+            )
+            self.images, self.poses, self.i_train, self.K = (
+                jax.device_put(x, rep)
+                for x in (self.images, self.poses, self.i_train, self.K)
+            )
         self.key = key
         dH = int(self.H // 2 * precrop_frac)
         dW = int(self.W // 2 * precrop_frac)
         # crop bounds per ref run_nerf.py:738-745: rows in [H//2-dH, H//2+dH)
         self._crop = (self.H // 2 - dH, self.W // 2 - dW, 2 * dH, 2 * dW)
         self._full = (0, 0, self.H, self.W)
-        self._fn = jax.jit(_sample_image_rays, static_argnums=(4, 5, 6, 7))
+        out_sh = None if sharding is None else (sharding, sharding, sharding)
+        self._fn = jax.jit(
+            _sample_image_rays, static_argnums=(4, 5, 6, 7), out_shardings=out_sh
+        )
 
     def next_batch(self, step: int):
         self.key, sub = jax.random.split(self.key)
@@ -147,10 +176,14 @@ class ImageRaySampler:
         )
 
 
-def make_sampler(scene: Scene, cfg, key: jax.Array):
-    """Pick the policy from the config (ref use_batching = not no_batching)."""
+def make_sampler(scene: Scene, cfg, key: jax.Array, sharding=None):
+    """Pick the policy from the config (ref use_batching = not no_batching).
+
+    ``sharding``: optional NamedSharding over the mesh 'data' axis; batches
+    come out pre-sharded for the DP train step."""
     if cfg.no_batching:
         return ImageRaySampler(
-            scene, cfg.N_rand, key, cfg.precrop_iters, cfg.precrop_frac
+            scene, cfg.N_rand, key, cfg.precrop_iters, cfg.precrop_frac,
+            sharding=sharding,
         )
-    return BatchedRaySampler(scene, cfg.N_rand, key)
+    return BatchedRaySampler(scene, cfg.N_rand, key, sharding=sharding)

@@ -16,10 +16,32 @@ because gradients are psum-reduced over the full batch either way.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import numpy as np
+
+# env markers that indicate a multi-process launch where the jax cluster
+# layer can auto-detect everything (explicit coordinator address)
+_CLUSTER_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _multihost_env() -> bool:
+    """True only when the environment names MORE THAN ONE worker.
+
+    A bare coordinator address is an explicit multi-process signal; for TPU
+    pod metadata require a comma-separated host list — single-worker setups
+    (including tunneled single-chip grants) set TPU_WORKER_HOSTNAMES too, and
+    auto-initializing there crashes any run that touched the backend first.
+    """
+    if any(v in os.environ for v in _CLUSTER_ENV_VARS):
+        return True
+    return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 
 
 def initialize(
@@ -29,14 +51,18 @@ def initialize(
 ) -> None:
     """Bring up the jax.distributed process group (no-op single-process).
 
-    On TPU pods the three arguments auto-detect from the environment.
+    Explicit args win; otherwise, when a cluster environment is detected
+    (TPU pod metadata or a coordinator address in the env), auto-detect.
+    Plain single-process runs skip initialization entirely.
     """
-    if num_processes is not None and num_processes > 1 or coordinator_address:
+    if (num_processes is not None and num_processes > 1) or coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif _multihost_env():
+        jax.distributed.initialize()
 
 
 def host_shard_slice(n_total: int) -> slice:

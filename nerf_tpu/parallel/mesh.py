@@ -82,37 +82,88 @@ def make_sharded_train_step(
     shard_model_axis: bool = False,
     hwf=None,
 ):
-    """The single-chip train step jitted over the mesh.
+    """The train step over the mesh. Returns compile_step(example_state) -> fn
+    with the single-chip signature (state, ro, rd, near, far, target, key).
 
-    Per-ray inputs are sharded over 'data'; train state is replicated (or
-    TP-sharded); XLA emits the psum gradient all-reduce automatically.
+    Two implementations behind one API:
+
+    - DP (default, the production path): ``shard_map`` over 'data' with an
+      explicit ``pmean`` gradient all-reduce in the body. shard_map (not jit
+      sharding propagation) is load-bearing: the fused Pallas kernel is not
+      GSPMD-partitionable, but inside shard_map it runs per-shard on each
+      device's local rays. Randomness is pre-drawn GLOBALLY outside the
+      shard_map (train/step.py draw_overrides) and sharded over 'data' as an
+      operand, so results are bit-equal to single-chip and mesh-invariant.
+
+    - DP×TP (``shard_model_axis=True``, jnp path only): the step jitted with
+      NamedShardings, params sharded on the hidden dim over 'model'; XLA
+      propagates the shardings and inserts the collectives. For wide-MLP
+      variants whose weights outgrow one chip's VMEM/HBM; the stock 256-wide
+      NeRF never needs it.
     """
-    import dataclasses as _dc
-
-    from nerf_tpu.train.step import TrainState, make_train_step_fn
-
-    step_body = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
+    from nerf_tpu.train.step import (
+        TrainState, draw_overrides, make_train_step_core, make_train_step_fn,
+    )
 
     rep = replicated(mesh)
     data = batch_sharding(mesh)
 
-    def shardings_for_state(state: TrainState):
-        p_sh = param_sharding(mesh, state.params, shard_model_axis)
-        # opt_state mirrors the params pytree inside adam's moments; replicate
-        # everything except params (XLA re-propagates TP shardings if enabled)
-        return TrainState(
-            params=p_sh,
-            opt_state=jax.tree.map(lambda _: rep, state.opt_state),
-            step=rep,
+    if shard_model_axis:
+        step_body = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
+
+        def shardings_for_state(state: TrainState):
+            p_sh = param_sharding(mesh, state.params, True)
+            # opt_state mirrors the params pytree inside adam's moments;
+            # replicate everything except params (XLA re-propagates TP
+            # shardings through the update)
+            return TrainState(
+                params=p_sh,
+                opt_state=jax.tree.map(lambda _: rep, state.opt_state),
+                step=rep,
+            )
+
+        def compile_step(example_state: TrainState):
+            state_sh = shardings_for_state(example_state)
+            return jax.jit(
+                step_body,
+                in_shardings=(state_sh, data, data, data, data, data, rep),
+                out_shardings=(state_sh, rep),
+                donate_argnums=(0,) if donate else (),
+            )
+
+        return compile_step
+
+    core = make_train_step_core(
+        model, rs, lrate, lrate_decay, hwf=hwf, axis_name="data"
+    )
+
+    def step_fn(state: TrainState, rays_o, rays_d, near, far, target, key):
+        key = jax.random.fold_in(key, state.step)
+        overrides = draw_overrides(key, rays_o.shape[0], rs)
+        mapped = jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data"),
+                      P("data")),
+            out_specs=(P(), P()),
+            # vma checking can't see through pallas_call (the fused kernel);
+            # replication of the outputs is guaranteed by the pmean in core
+            check_vma=False,
         )
+        return mapped(state, rays_o, rays_d, near, far, target, overrides)
 
     def compile_step(example_state: TrainState):
-        state_sh = shardings_for_state(example_state)
+        del example_state  # state is replicated; no per-state shardings needed
         return jax.jit(
-            step_body,
-            in_shardings=(state_sh, data, data, data, data, data, rep),
-            out_shardings=(state_sh, rep),  # aux is scalar metrics -> replicated
+            step_fn,
+            in_shardings=(rep, data, data, data, data, data, rep),
+            out_shardings=(rep, rep),
             donate_argnums=(0,) if donate else (),
         )
 
     return compile_step
+
+
+def place_state(mesh: Mesh, state):
+    """Replicate a (host or single-device) train state onto the mesh."""
+    return jax.device_put(state, replicated(mesh))

@@ -167,16 +167,43 @@ def train(
         save_video(os.path.join(savedir, "video.mp4"), rgbs)
         return TrainResult(state=state, history=[])
 
-    sampler = make_sampler(scene, cfg, k_sample)
-    step_fn = make_train_step(
-        model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
-        hwf=(scene.H, scene.W, scene.focal),
-    )
+    # --- device mesh: cfg.data_axis devices on 'data' (0 = all, 1 = off) ---
+    n_data = cfg.data_axis if cfg.data_axis > 0 else jax.device_count()
+    mesh = None
+    batch_sh = None
+    if n_data > 1:
+        from nerf_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, make_sharded_train_step, place_state,
+        )
+
+        if cfg.N_rand % n_data != 0:
+            raise ValueError(
+                f"N_rand={cfg.N_rand} must divide evenly over the "
+                f"{n_data}-device 'data' mesh axis"
+            )
+        mesh = make_mesh(n_data=n_data)
+        batch_sh = batch_sharding(mesh)
+        state = place_state(mesh, state)
+        step_fn = make_sharded_train_step(
+            mesh, model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
+            hwf=(scene.H, scene.W, scene.focal),
+        )(state)
+        print(f"[MESH] data-parallel over {n_data} devices: {mesh}")
+    else:
+        step_fn = make_train_step(
+            model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
+            hwf=(scene.H, scene.W, scene.focal),
+        )
+
+    sampler = make_sampler(scene, cfg, k_sample, sharding=batch_sh)
 
     # scene near/far; NDC marches in [0,1] (ref run_nerf.py:564-566)
     near, far = (0.0, 1.0) if rs.ndc else (scene.near, scene.far)
     near_v = jnp.full((cfg.N_rand,), near, jnp.float32)
     far_v = jnp.full((cfg.N_rand,), far, jnp.float32)
+    if batch_sh is not None:
+        near_v = jax.device_put(near_v, batch_sh)
+        far_v = jax.device_put(far_v, batch_sh)
 
     try:
         from tqdm import trange
@@ -184,6 +211,11 @@ def train(
         step_iter = trange(start + 1, cfg.n_iters + 1, desc=cfg.expname)
     except ImportError:
         step_iter = range(start + 1, cfg.n_iters + 1)
+
+    def eval_params(st):
+        # eval renders run on the default device; under a mesh the params are
+        # NamedSharding-replicated, so pull once per eval (a few MB)
+        return jax.device_get(st.params) if mesh is not None else st.params
 
     history = []
     t0 = time.time()
@@ -214,7 +246,7 @@ def train(
             # run_nerf.py:842-861; here it's live): render one val view
             img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
             out = render_image(
-                state.params, model, rs.eval_mode(), scene.H, scene.W,
+                eval_params(state), model, rs.eval_mode(), scene.H, scene.W,
                 jnp.asarray(scene.K), jnp.asarray(scene.poses[img_i]),
                 near, far, chunk=cfg.chunk,
             )
@@ -227,7 +259,7 @@ def train(
             print("Saved checkpoints at", path)
         if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
             rgbs, disps = render_path(
-                state.params, model, rs, scene, scene.render_poses, cfg.chunk
+                eval_params(state), model, rs, scene, scene.render_poses, cfg.chunk
             )
             base = os.path.join(expdir, f"{cfg.expname}_spiral_{i:06d}_")
             save_video(base + "rgb.mp4", rgbs)
@@ -236,7 +268,7 @@ def train(
             testsavedir = os.path.join(expdir, f"testset_{i:06d}")
             os.makedirs(testsavedir, exist_ok=True)
             render_path(
-                state.params, model, rs, scene, scene.poses[scene.i_test],
+                eval_params(state), model, rs, scene, scene.poses[scene.i_test],
                 cfg.chunk, savedir=testsavedir, gt_imgs=scene.images[scene.i_test],
             )
         if "on_step" in hooks:

@@ -72,6 +72,44 @@ def init_train_state(
     )
 
 
+def draw_overrides(key: jax.Array, n_rays: int, rs: RenderSettings) -> Dict:
+    """Pre-draw every random stream ``render_rays`` would consume.
+
+    Key-split order, shapes, and dtypes exactly match the in-renderer draws
+    (renderer.py:77 split into jitter/noise0/pdf/noise1), so passing the
+    result as ``overrides`` is bit-identical to letting render_rays draw.
+
+    Why: in the sharded train step the draws happen OUTSIDE shard_map on the
+    GLOBAL [n_rays] batch and are sharded over 'data' as plain operands —
+    making sharded training (a) bit-equal to single-chip and (b) invariant to
+    the mesh shape (SURVEY.md §7 "multi-host determinism").
+    """
+    k_jitter, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+    ov: Dict = {}
+    if rs.perturb:
+        ov["t_rand"] = jax.random.uniform(
+            k_jitter, (n_rays, rs.n_samples), jnp.float32
+        )
+    if rs.raw_noise_std > 0.0:
+        ov["noise0"] = (
+            jax.random.normal(k_noise0, (n_rays, rs.n_samples), jnp.float32)
+            * rs.raw_noise_std
+        )
+    if rs.n_importance > 0:
+        if rs.perturb:  # det (perturb==0) uses linspace: no random draw
+            ov["u"] = jax.random.uniform(
+                k_pdf, (n_rays, rs.n_importance), jnp.float32
+            )
+        if rs.raw_noise_std > 0.0:
+            ov["noise1"] = (
+                jax.random.normal(
+                    k_noise1, (n_rays, rs.n_samples + rs.n_importance), jnp.float32
+                )
+                * rs.raw_noise_std
+            )
+    return ov
+
+
 def loss_fn(
     params: Dict,
     model: NeRFModel,
@@ -82,18 +120,76 @@ def loss_fn(
     near: jnp.ndarray,
     far: jnp.ndarray,
     target: jnp.ndarray,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
+    overrides: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    out = render_rays(params, model, rs, rays_o, rays_d, viewdirs, near, far, key=key)
+    out = render_rays(
+        params, model, rs, rays_o, rays_d, viewdirs, near, far, key=key,
+        overrides=overrides,
+    )
     img_loss = img2mse(out["rgb_map"], target)
     loss = img_loss
     aux = {"psnr": mse2psnr(img_loss), "img_loss": img_loss}
     if "rgb0" in out:  # coarse term only when N_importance>0 (ref run_nerf.py:770-772)
         img_loss0 = img2mse(out["rgb0"], target)
         loss = loss + img_loss0
+        aux["img_loss0"] = img_loss0
         aux["psnr0"] = mse2psnr(img_loss0)
     aux["loss"] = loss
     return loss, aux
+
+
+def make_train_step_core(
+    model: NeRFModel,
+    rs: RenderSettings,
+    lrate: float,
+    lrate_decay: int,
+    hwf=None,
+    axis_name: Optional[str] = None,
+):
+    """The per-shard train-step body, randomness pre-drawn by the caller.
+
+    Returned fn: (state, rays_o, rays_d, near, far, target, overrides)
+    -> (state, aux). With ``axis_name`` set it is a shard_map body: gradients
+    and mse terms are pmean-reduced over that mesh axis (the DP all-reduce,
+    riding ICI), PSNRs recomputed from the global mse so aux matches
+    single-chip exactly; the Adam update then runs replicated per shard.
+
+    Viewdirs derive from the RAW rays_d (normalization) and, on the LLFF
+    forward-facing path, the marching rays are NDC-transformed afterwards —
+    matching the reference's render() preamble order (run_nerf.py:102-114).
+    ``hwf=(H, W, focal)`` is required when rs.ndc.
+    """
+    tx = make_optimizer(lrate, lrate_decay)
+    if rs.ndc and hwf is None:
+        raise ValueError("rs.ndc=True requires hwf=(H, W, focal)")
+
+    def core(state: TrainState, rays_o, rays_d, near, far, target, overrides):
+        viewdirs = None
+        if rs.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if rs.ndc:
+            from nerf_tpu.geom.rays import ndc_rays
+
+            H, W, focal = hwf
+            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, model, rs, rays_o, rays_d, viewdirs, near, far, target,
+            None, overrides,
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), aux)
+            # PSNR is a log of the mse: recompute from the globally averaged
+            # mse (pmean of per-shard psnr would NOT equal the global psnr)
+            aux["psnr"] = mse2psnr(aux["img_loss"])
+            if "psnr0" in aux:
+                aux["psnr0"] = mse2psnr(aux["img_loss0"])
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), aux
+
+    return core
 
 
 def make_train_step_fn(
@@ -104,34 +200,16 @@ def make_train_step_fn(
     hwf=None,
 ):
     """Build the UN-jitted train step body (jitted by make_train_step for
-    single-chip, or by parallel.mesh.make_sharded_train_step over a mesh).
+    single-chip, or vmapped by parallel.multi_scene).
 
     Returned fn: (state, rays_o, rays_d, near, far, target, key) -> (state, aux).
-    Viewdirs derive from the RAW rays_d (normalization) and, on the LLFF
-    forward-facing path, the marching rays are NDC-transformed afterwards —
-    matching the reference's render() preamble order (run_nerf.py:102-114).
-    ``hwf=(H, W, focal)`` is required when rs.ndc.
     """
-    tx = make_optimizer(lrate, lrate_decay)
-    if rs.ndc and hwf is None:
-        raise ValueError("rs.ndc=True requires hwf=(H, W, focal)")
+    core = make_train_step_core(model, rs, lrate, lrate_decay, hwf)
 
     def step_fn(state: TrainState, rays_o, rays_d, near, far, target, key):
-        viewdirs = None
-        if rs.use_viewdirs:
-            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        if rs.ndc:
-            from nerf_tpu.geom.rays import ndc_rays
-
-            H, W, focal = hwf
-            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
         key = jax.random.fold_in(key, state.step)
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, model, rs, rays_o, rays_d, viewdirs, near, far, target, key
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), aux
+        overrides = draw_overrides(key, rays_o.shape[0], rs)
+        return core(state, rays_o, rays_d, near, far, target, overrides)
 
     return step_fn
 

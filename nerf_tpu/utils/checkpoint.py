@@ -34,8 +34,14 @@ def ckpt_dir(basedir: str, expname: str, step: int) -> str:
 def save_checkpoint(basedir: str, expname: str, state: TrainState) -> str:
     step = int(state.step)
     path = os.path.abspath(ckpt_dir(basedir, expname, step))
+    if jax.process_count() > 1:
+        # multi-host: hand orbax the global (sharded/replicated) arrays; it
+        # coordinates the collective write across processes
+        payload = state
+    else:
+        payload = jax.device_get(state)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, payload, force=True)
     return path
 
 
