@@ -117,15 +117,15 @@ def main():
     dt = time.time() - t0
 
     rays_per_sec = n_rand * n_steps / dt
-    # MFU estimate: fwd+bwd ~= 3x fwd FLOPs; fwd ~= 2 * params_matmul * points
-    pts = n_rand * (64 + 128 + 64)  # fine pass 192 + coarse 64 points/ray
-    flops_per_pt = 2 * (
-        63 * 256 + 6 * 256 * 256 + (256 + 63) * 256 + 256 * 257 + (256 + 27) * 128 + 128 * 3
-    )
-    tflops = 3 * pts * flops_per_pt * n_steps / dt / 1e12
+    # one FLOP/MFU model shared with the train loop (utils/profiler.py)
+    from nerf_tpu.utils.profiler import StepTimer
+
+    timer = StepTimer(n_rand, 64 + 128 + 64)  # coarse 64 + fine 192 pts/ray
+    rep = timer.report(steps=n_steps, elapsed=dt)
     log(
         f"bench: {dt/n_steps*1000:.1f} ms/step, {rays_per_sec:,.0f} rays/s, "
-        f"~{tflops:.1f} TFLOP/s, loss={float(aux['loss']):.4f}"
+        f"~{rep['model_tflops']:.1f} TFLOP/s ({rep['mfu']*100:.1f}% MFU), "
+        f"loss={float(aux['loss']):.4f}"
     )
 
     print(

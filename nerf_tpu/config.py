@@ -86,6 +86,7 @@ class NeRFConfig:
     process_id: Optional[int] = None
     donate_state: bool = True  # donate train state buffers into the jitted step
     debug_nan: bool = False  # per-step non-finite loss scan (ref DEBUG, run_nerf.py:24)
+    trace: bool = False  # capture a jax.profiler trace of a few steady steps
 
     @property
     def ndc(self) -> bool:

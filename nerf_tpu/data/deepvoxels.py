@@ -15,26 +15,27 @@ from nerf_tpu.data.scene import Scene, default_intrinsics
 
 
 def parse_intrinsics(filepath: str, trgt_sidelength: int, invert_y: bool = False):
-    with open(filepath) as file:
-        f, cx, cy = list(map(float, file.readline().split()))[:3]
-        grid_barycenter = np.array(list(map(float, file.readline().split())))
-        near_plane = float(file.readline())
-        scale = float(file.readline())
-        height, width = map(float, file.readline().split())
-        try:
-            world2cam_poses = int(file.readline())
-        except ValueError:
-            world2cam_poses = None
-    world2cam_poses = bool(world2cam_poses) if world2cam_poses is not None else False
+    """Parse a DeepVoxels ``intrinsics.txt``.
 
-    cx = cx / width * trgt_sidelength
-    cy = cy / height * trgt_sidelength
-    f = trgt_sidelength / height * f
+    Fixed 5-or-6-line format (semantics per ref load_deepvoxels.py:10-45):
+    ``f cx cy [...]`` / grid barycenter / near plane / scale / ``H W`` /
+    optional world2cam flag. Focal and principal point are rescaled to the
+    target render side length (focal by height, cx/cy by their own axes).
+    """
+    lines = [ln.split() for ln in open(filepath).read().splitlines()]
+    f, cx, cy = (float(v) for v in lines[0][:3])
+    grid_barycenter = np.array([float(v) for v in lines[1]])
+    near_plane = float(lines[2][0])
+    scale = float(lines[3][0])
+    height, width = (float(v) for v in lines[4])
+    world2cam_poses = bool(int(lines[5][0])) if len(lines) > 5 and lines[5] else False
+
+    f = f * trgt_sidelength / height
+    cx = cx * trgt_sidelength / width
+    cy = cy * trgt_sidelength / height
     fy = -f if invert_y else f
-
-    full_intrinsic = np.array(
-        [[f, 0.0, cx, 0.0], [0.0, fy, cy, 0], [0.0, 0, 1, 0], [0, 0, 0, 1]]
-    )
+    full_intrinsic = np.diag([f, fy, 1.0, 1.0])
+    full_intrinsic[:2, 2] = [cx, cy]
     return full_intrinsic, grid_barycenter, scale, near_plane, world2cam_poses
 
 

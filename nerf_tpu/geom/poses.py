@@ -1,8 +1,13 @@
 """Camera pose utilities (host-side numpy).
 
 Spherical eval-path poses (ref load_blender.py:10-34, reused by
-load_LINEMOD.py:10-34) and the LLFF pose pipeline: average pose, recentering,
-spherification, and the spiral render path (ref load_llff.py:120-240).
+load_LINEMOD.py:10-34) and the LLFF pose pipeline (ref load_llff.py:120-240).
+
+The LLFF functions reproduce the reference's *numerics* exactly — every
+convention below (cross-product order, tie-break constants, normalization
+choices) is pinned by tests/test_poses.py against the live reference — but
+are structured vectorized (batched frames, linear solves instead of explicit
+inverses, no per-pose Python loops).
 """
 
 from __future__ import annotations
@@ -58,26 +63,50 @@ def spherical_render_poses(
 
 # --- LLFF pose pipeline (ref load_llff.py:120-240) ---
 
+def _unit(x: np.ndarray) -> np.ndarray:
+    """Normalize along the last axis (works batched)."""
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
 def normalize(x: np.ndarray) -> np.ndarray:
     return x / np.linalg.norm(x)
 
 
-def viewmatrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """Camera frame from forward z, up hint, and position (load_llff.py:128-134)."""
-    vec2 = normalize(z)
-    vec1_avg = up
-    vec0 = normalize(np.cross(vec1_avg, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
+def _camera_frames(forward, up_hint, origin) -> np.ndarray:
+    """Batched right-handed camera frames [..., 3, 4].
+
+    Gram-Schmidt with the LLFF convention (ref viewmatrix, load_llff.py:128):
+    columns are [right, up, forward, origin] with right = up_hint x forward.
+    """
+    fwd = _unit(forward)
+    right = _unit(np.cross(np.broadcast_to(up_hint, fwd.shape), fwd))
+    up = _unit(np.cross(fwd, right))
+    return np.stack([right, up, fwd, np.broadcast_to(origin, fwd.shape)], -1)
+
+
+def viewmatrix(z, up, pos) -> np.ndarray:
+    """Single [3, 4] camera frame from forward z, up hint, and position."""
+    return _camera_frames(np.asarray(z, float), np.asarray(up, float),
+                          np.asarray(pos, float))
+
+
+def _to_hom(p34: np.ndarray) -> np.ndarray:
+    """[..., 3, 4] -> [..., 4, 4] with a [0,0,0,1] bottom row."""
+    bottom = np.zeros(p34.shape[:-2] + (1, 4), p34.dtype)
+    bottom[..., 0, 3] = 1.0
+    return np.concatenate([p34, bottom], -2)
 
 
 def poses_avg(poses: np.ndarray) -> np.ndarray:
-    """Average pose of a set (load_llff.py:140-149). poses: [N, 3, 5]."""
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
+    """Average pose of a set (ref load_llff.py:140-149). poses: [N, 3, 5].
+
+    Forward = renormalized sum of per-pose forward axes; up hint = summed up
+    axes; origin = mean translation; hwf column carried from pose 0.
+    """
+    frame = _camera_frames(
+        poses[:, :3, 2].sum(0), poses[:, :3, 1].sum(0), poses[:, :3, 3].mean(0)
+    )
+    return np.concatenate([frame, poses[0, :3, -1:]], 1)
 
 
 def render_path_spiral(
@@ -90,102 +119,99 @@ def render_path_spiral(
     rots: int,
     N: int,
 ) -> list:
-    """Spiral eval path for forward-facing scenes (load_llff.py:153-162)."""
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(
-            c2w[:3, :4],
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
-            * rads,
-        )
-        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
-    return render_poses
+    """Spiral eval path for forward-facing scenes (ref load_llff.py:153-162).
+
+    All N cameras are built in one batch: Lissajous offsets in the average
+    camera's frame, every camera looking through the point ``focal`` units
+    down the average view axis. ``zdelta`` is accepted-but-unused exactly
+    like the reference's.
+    """
+    del zdelta
+    thetas = np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]
+    radii = np.concatenate([np.asarray(rads, float), [1.0]])
+    offsets = radii * np.stack(
+        [
+            np.cos(thetas),
+            -np.sin(thetas),
+            -np.sin(thetas * zrate),
+            np.ones_like(thetas),
+        ],
+        -1,
+    )  # [N, 4] homogeneous points in the avg-camera frame
+    centers = offsets @ c2w[:3, :4].T  # [N, 3] world positions
+    look_at = c2w[:3, :4] @ np.array([0.0, 0.0, -focal, 1.0])
+    frames = _camera_frames(centers - look_at, up, centers)  # batched [N, 3, 4]
+    hwf = np.broadcast_to(c2w[:3, 4:5], frames[:, :, :1].shape)
+    return list(np.concatenate([frames, hwf], -1))
 
 
 def recenter_poses(poses: np.ndarray) -> np.ndarray:
-    """Re-express all poses relative to their average (load_llff.py:166-178)."""
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses_h = np.concatenate([poses[:, :3, :4], bottom], -2)
+    """Re-express all poses relative to their average (ref load_llff.py:166-178)."""
+    avg = _to_hom(poses_avg(poses)[None, :3, :4])  # [1, 4, 4]
+    rel = np.linalg.solve(avg, _to_hom(poses[:, :3, :4]))
+    out = poses.copy()
+    out[:, :3, :4] = rel[:, :3, :4]
+    return out
 
-    poses_h = np.linalg.inv(c2w) @ poses_h
-    poses_[:, :3, :4] = poses_h[:, :3, :4]
-    return poses_
+
+def _closest_point_to_axes(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Least-squares 3D point nearest all camera view axes.
+
+    Minimizes sum_i ||(I - d_i d_i^T)(p - o_i)||^2 via the same normal
+    equations the reference forms (load_llff.py:188-196): solve
+    mean(A_i^T A_i) p = -mean(b_i) with A_i the perpendicular projector and
+    b_i = -A_i o_i.
+    """
+    proj = np.eye(3) - dirs[:, :, None] * dirs[:, None, :]  # [N, 3, 3]
+    lhs = np.einsum("nij,nik->njk", proj, proj).mean(0)
+    rhs = -np.einsum("nij,nj->ni", proj, origins).mean(0)
+    return -np.linalg.solve(lhs, rhs)
 
 
 def spherify_poses(poses: np.ndarray, bds: np.ndarray):
-    """Rescale/reorient 360° captures onto a unit-ish sphere and build a
-    circular render path (load_llff.py:184-240)."""
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1
-    )
+    """Rescale/reorient 360-degree captures onto a unit-ish sphere and build
+    a 120-pose circular render path (ref load_llff.py:184-240)."""
+    center = _closest_point_to_axes(poses[:, :3, 3], poses[:, :3, 2])
 
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    # world frame centered at the focus point, z along the mean camera
+    # offset; [0.1, 0.2, 0.3] is the reference's deterministic tie-break
+    # vector for the remaining in-plane orientation (load_llff.py:202)
+    zaxis = _unit((poses[:, :3, 3] - center).mean(0))
+    xaxis = _unit(np.cross([0.1, 0.2, 0.3], zaxis))
+    yaxis = _unit(np.cross(zaxis, xaxis))
+    world = _to_hom(np.stack([xaxis, yaxis, zaxis, center], 1)[None])
 
-    def min_line_dist(rays_o, rays_d):
-        A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -A_i @ rays_o
-        pt_mindist = np.squeeze(
-            -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0))
-            @ (b_i).mean(0)
-        )
-        return pt_mindist
+    reset = np.linalg.solve(world, _to_hom(poses[:, :3, :4]))[:, :3, :4]
 
-    pt_mindist = min_line_dist(rays_o, rays_d)
+    # rescale so cameras sit at unit RMS distance from the focus point
+    scale = 1.0 / np.sqrt(np.square(reset[:, :3, 3]).sum(-1).mean())
+    reset[:, :3, 3] *= scale
+    bds = bds * scale
 
-    center = pt_mindist
-    up = (poses[:, :3, 3] - center).mean(0)
-
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    pos = center
-    c2w = np.stack([vec1, vec2, vec0, pos], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
-
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
-    new_poses = []
-
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up = np.array([0, 0, -1.0])
-
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up))
-        vec1 = normalize(np.cross(vec2, vec0))
-        pos = camorigin
-        p = np.stack([vec0, vec1, vec2, pos], 1)
-        new_poses.append(p)
-
-    new_poses = np.stack(new_poses, 0)
-
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)],
+    # circular path at the mean camera height; after rescaling the RMS
+    # camera distance is exactly 1, so the circle radius is sqrt(1 - zh^2)
+    zh = reset[:, :3, 3].mean(0)[2]
+    radcircle = np.sqrt(1.0 - zh**2)
+    thetas = np.linspace(0.0, 2.0 * np.pi, 120)
+    cams = np.stack(
+        [radcircle * np.cos(thetas), radcircle * np.sin(thetas),
+         np.full_like(thetas, zh)],
         -1,
+    )  # [120, 3]
+
+    # the reference's circle frame is NOT viewmatrix's: with fwd = unit(cam)
+    # and up = [0,0,-1] it takes right = fwd x up, then up' = fwd x right —
+    # a left-handed variant (load_llff.py:219-226). Reproduced exactly.
+    fwd = _unit(cams)
+    right = _unit(np.cross(fwd, np.array([0.0, 0.0, -1.0])))
+    up = _unit(np.cross(fwd, right))
+    circle = np.stack([right, up, fwd, cams], -1)  # [120, 3, 4]
+
+    hwf0 = poses[0, :3, -1:]
+    new_poses = np.concatenate(
+        [circle, np.broadcast_to(hwf0, circle[:, :, :1].shape)], -1
     )
     poses_reset = np.concatenate(
-        [
-            poses_reset[:, :3, :4],
-            np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape),
-        ],
-        -1,
+        [reset, np.broadcast_to(hwf0, reset[:, :, :1].shape)], -1
     )
-
     return poses_reset, new_poses, bds

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -29,6 +28,7 @@ from nerf_tpu.train.step import TrainState, init_train_state, make_train_step
 from nerf_tpu.utils import checkpoint as ckpt_lib
 from nerf_tpu.utils.io import save_png, save_video
 from nerf_tpu.utils.metrics import img2mse, mse2psnr
+from nerf_tpu.utils.profiler import StepTimer, mlp_flops_per_point, trace
 
 
 def load_scene(cfg: NeRFConfig) -> Scene:
@@ -217,30 +217,53 @@ def train(
         # NamedSharding-replicated, so pull once per eval (a few MB)
         return jax.device_get(st.params) if mesh is not None else st.params
 
+    # one source of truth for throughput/MFU (shared with bench.py)
+    pts_per_ray = (
+        2 * cfg.N_samples + cfg.N_importance
+        if cfg.N_importance > 0
+        else cfg.N_samples
+    )
+    timer = StepTimer(
+        cfg.N_rand,
+        pts_per_ray,
+        mlp_flops_per_point(cfg.netdepth, cfg.netwidth),
+    )
+    timer.start()
+
     history = []
-    t0 = time.time()
     for i in step_iter:
         if cfg.no_batching:
             rays_o, rays_d, target = sampler.next_batch(i)
         else:
             rays_o, rays_d, target = sampler.next_batch()
         state, aux = step_fn(state, rays_o, rays_d, near_v, far_v, target, k_step)
+        timer.step()
 
         if cfg.debug_nan and not np.isfinite(float(aux["loss"])):
             # ref DEBUG NaN scan (run_nerf.py:414-416) — here it also stops
             raise FloatingPointError(f"non-finite loss at step {i}")
 
+        if cfg.trace and i == start + 12:
+            # steady state (past compile + warmup): capture a few real steps
+            with trace(os.path.join(expdir, "trace")):
+                for _ in range(4):
+                    state, aux = step_fn(
+                        state, rays_o, rays_d, near_v, far_v, target, k_step
+                    )
+                jax.block_until_ready(aux["loss"])
+            timer.step(4)
+            print(f"[TRACE] profile written to {expdir}/trace")
+
         if i % cfg.i_print == 0:
             loss = float(aux["loss"])
             psnr = float(aux["psnr"])
-            dt = time.time() - t0
-            rate = cfg.i_print * cfg.N_rand / max(dt, 1e-9)
+            rep = timer.report()
             print(
                 f"[TRAIN] Iter: {i} Loss: {loss:.6f}  PSNR: {psnr:.3f}  "
-                f"({rate:,.0f} rays/s)"
+                f"({rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU)"
             )
             history.append((i, loss, psnr))
-            t0 = time.time()
+            timer.start()
         if cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
             # holdout-view PSNR (the reference's i_img logging is dead code,
             # run_nerf.py:842-861; here it's live): render one val view
@@ -271,6 +294,12 @@ def train(
                 eval_params(state), model, rs, scene, scene.poses[scene.i_test],
                 cfg.chunk, savedir=testsavedir, gt_imgs=scene.images[scene.i_test],
             )
+        if (
+            (cfg.i_img > 0 and i % cfg.i_img == 0)
+            or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
+            or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
+        ):
+            timer.start()  # don't count eval renders as train throughput
         if "on_step" in hooks:
             hooks["on_step"](i, state, aux)
 

@@ -71,9 +71,13 @@ class StepTimer:
     def step(self, n: int = 1):
         self._steps += n
 
-    def report(self) -> dict:
-        dt = time.perf_counter() - self._t0
-        sps = self._steps / dt
+    def report(self, steps: Optional[int] = None,
+               elapsed: Optional[float] = None) -> dict:
+        """Throughput over the running window, or an explicit (steps, elapsed)
+        measurement (used by bench.py so loop and bench share one model)."""
+        dt = elapsed if elapsed is not None else time.perf_counter() - self._t0
+        n = steps if steps is not None else self._steps
+        sps = n / max(dt, 1e-12)
         flops = 3 * self.points_per_step * self.flops_per_point * sps
         return {
             "steps_per_sec": sps,
