@@ -56,3 +56,39 @@ def make_multi_scene_step(
     step_fn = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
     vstep = jax.vmap(step_fn)
     return jax.jit(vstep, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_multi_scene_step(
+    mesh,
+    model: NeRFModel,
+    rs: RenderSettings,
+    lrate: float,
+    lrate_decay: int,
+    donate: bool = True,
+    hwf=None,
+):
+    """The vmapped step with the SCENE axis sharded over the mesh's 'data'
+    axis — one scene (group) per device (group), zero cross-scene
+    communication (the BASELINE "one scene per host group" sweep shape).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
+    vstep = jax.vmap(step_fn)
+    scene_sh = NamedSharding(mesh, P("data"))  # leading axis = scene
+    return jax.jit(
+        vstep,
+        # a single sharding broadcasts over every leaf of a pytree argument
+        in_shardings=(
+            scene_sh, scene_sh, scene_sh, scene_sh, scene_sh, scene_sh, scene_sh,
+        ),
+        out_shardings=(scene_sh, scene_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_scene_axis(mesh, tree):
+    """Place a stacked (leading scene axis) pytree over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(tree, NamedSharding(mesh, P("data")))
