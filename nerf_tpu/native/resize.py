@@ -46,6 +46,13 @@ def _load():
                     ctypes.POINTER(ctypes.c_float),
                 ]
                 fn.restype = None
+            lib.lanczos_resize_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.lanczos_resize_f32.restype = None
             _lib = lib
     return _lib
 
@@ -76,4 +83,26 @@ def area_downsample(img: np.ndarray, factor: int) -> np.ndarray:
             H, W, C, factor,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
+    return out[..., 0] if squeeze else out
+
+
+def lanczos_resize(img: np.ndarray, H2: int, W2: int) -> np.ndarray:
+    """Lanczos-3 resample img [H, W, C] (or [H, W]) to (H2, W2) — the filter
+    ImageMagick's default `-resize` uses when minifying (ref load_llff.py:45).
+
+    Input any float/uint8 scale; output float32 in the same scale (not
+    clamped; Lanczos overshoots by design, callers clip if needed).
+    """
+    lib = _load()
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W, C = img.shape
+    src = np.ascontiguousarray(img, dtype=np.float32)
+    out = np.empty((H2, W2, C), np.float32)
+    lib.lanczos_resize_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        H, W, C, H2, W2,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
     return out[..., 0] if squeeze else out
