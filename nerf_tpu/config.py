@@ -79,6 +79,7 @@ class NeRFConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"  # matmul dtype; "float32" for strict parity
     fused_kernels: bool = True  # Pallas fused posenc+MLP on TPU
+    fused_render: bool = False  # single-kernel rays->maps path (ops/fused_render.py)
     data_axis: int = 0  # devices on the 'data' mesh axis; 0 = all, 1 = no mesh
     # multi-host (pod slice) process group; all three auto-detect on TPU pods
     coordinator_address: Optional[str] = None

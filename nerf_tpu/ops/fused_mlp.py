@@ -255,6 +255,96 @@ def _fwd_kernel(dtype, width, spr, *refs):
     out_ref[:, 3:4] = alpha
 
 
+def _mlp_backward_math(
+    kp, dtype, width, n_freq_p, n_freq_v, spr,
+    e, xb, ev, vb, acts, h7, feat, hv, g,
+    want_input_grads=True,
+):
+    """Shared backward math: cotangent g [T, 4] on raw -> (weight-grad dict,
+    dx [T, 3], dv [RV, 3]). ``want_input_grads=False`` skips the d_e/dx/dv
+    branch (used by the fused render op, whose inputs — rays and z — are
+    non-differentiated leaves in the training graph, ref run_nerf.py:394)."""
+    accs = {}
+
+    def acc(name, val):
+        accs[name] = val
+
+    # --- head backward ---
+    g_rgb = g[:, 0:3].astype(jnp.float32)
+    g_a = g[:, 3:4].astype(jnp.float32)
+
+    acc("dWr", _dot_at(hv.astype(dtype), g_rgb.astype(dtype)))
+    acc("dbr", jnp.sum(g_rgb, axis=0, keepdims=True))
+    d_hv = _dot_t(g_rgb.astype(dtype), kp["Wr"]) * (hv > 0)
+    d_hv_c = d_hv.astype(dtype)
+
+    acc("dWvf", _dot_at(feat.astype(dtype), d_hv_c))
+    # view branch per ray: dWve = ev^T (Σ_samples d_hv); d_ev likewise
+    d_hv_ray = _per_point_to_per_ray(d_hv, spr)  # [RV, W/2] f32
+    d_hv_ray_c = d_hv_ray.astype(dtype)
+    acc("dWve", _dot_at(ev, d_hv_ray_c))
+    acc("dbv", jnp.sum(d_hv, axis=0, keepdims=True))
+
+    d_feat = _dot_t(d_hv_c, kp["Wvf"])
+    dv = None
+    if want_input_grads:
+        d_ev = _dot_t(d_hv_ray_c, kp["Wve"])  # [RV, 27]
+        fv3 = 3 * n_freq_v
+        d_vb = d_ev[:, 3 : 3 + fv3] * jnp.cos(vb) - d_ev[:, 3 + fv3 :] * jnp.sin(vb)
+        dv = d_ev[:, :3].astype(jnp.float32) + _dot_t(
+            d_vb.astype(jnp.float32), kp["Sv"]
+        )
+
+    d_af = jnp.concatenate([d_feat, g_a], axis=-1).astype(dtype)  # [T, W+1]
+    acc("dWaf", _dot_at(h7.astype(dtype), d_af))
+    acc("dbaf", jnp.sum(d_af.astype(jnp.float32), axis=0, keepdims=True))
+
+    d_h = _dot_t(d_af, kp["Waf"]) * (h7 > 0)
+
+    # --- trunk backward ---
+    d_e5 = None
+    for i in range(_DEPTH - 1, 0, -1):
+        d_c = d_h.astype(dtype)
+        a_prev = acts[i - 1]
+        acc(f"dW{i}", _dot_at(a_prev, d_c))
+        acc(f"db{i}", jnp.sum(d_h, axis=0, keepdims=True))
+        if i == _SKIP + 1:
+            acc("dW5e", _dot_at(e, d_c))
+            if want_input_grads:
+                d_e5 = _dot_t(d_c, kp["W5e"])
+        # relu mask in f32: Mosaic on v5e rejects bf16 vector compares
+        d_h = _dot_t(d_c, kp[f"W{i}"]) * (a_prev.astype(jnp.float32) > 0)
+
+    d0 = d_h.astype(dtype)
+    acc("dW0e", _dot_at(e, d0))
+    acc("db0", jnp.sum(d_h, axis=0, keepdims=True))
+    dx = None
+    if want_input_grads:
+        d_e = _dot_t(d0, kp["W0e"]) + d_e5
+        fp3 = 3 * n_freq_p
+        d_xb = d_e[:, 3 : 3 + fp3] * jnp.cos(xb) - d_e[:, 3 + fp3 :] * jnp.sin(xb)
+        dx = d_e[:, :3].astype(jnp.float32) + _dot_t(
+            d_xb.astype(jnp.float32), kp["Sp"]
+        )
+    return accs, dx, dv
+
+
+def _accumulate_weight_grads(douts, accs):
+    """Accumulate per-tile weight grads across the sequential grid via
+    revisited (VMEM-resident) output blocks."""
+    is_first = pl.program_id(0) == 0
+    for name, ref in douts.items():
+        val = accs[name].astype(jnp.float32)
+
+        @pl.when(is_first)
+        def _(ref=ref, val=val):
+            ref[...] = val
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, val=val):
+            ref[...] = ref[...] + val
+
+
 def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
     n_kp = len(_KP_ORDER)
 
@@ -279,80 +369,13 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
         acts = acts[:-1]  # [h0..h6]
         alpha, feat, hv, rgb = _head_forward(h7, ev, kp, dtype, width, spr)
 
-        is_first = pl.program_id(0) == 0
-
-        accs = {}
-
-        def acc(name, val):
-            accs[name] = val
-
-        # --- head backward ---
-        g_rgb = g[:, 0:3].astype(jnp.float32)
-        g_a = g[:, 3:4].astype(jnp.float32)
-
-        acc("dWr", _dot_at(hv.astype(dtype), g_rgb.astype(dtype)))
-        acc("dbr", jnp.sum(g_rgb, axis=0, keepdims=True))
-        d_hv = _dot_t(g_rgb.astype(dtype), kp["Wr"]) * (hv > 0)
-        d_hv_c = d_hv.astype(dtype)
-
-        acc("dWvf", _dot_at(feat.astype(dtype), d_hv_c))
-        # view branch per ray: dWve = ev^T (Σ_samples d_hv); d_ev likewise
-        d_hv_ray = _per_point_to_per_ray(d_hv, spr)  # [RV, W/2] f32
-        d_hv_ray_c = d_hv_ray.astype(dtype)
-        acc("dWve", _dot_at(ev, d_hv_ray_c))
-        acc("dbv", jnp.sum(d_hv, axis=0, keepdims=True))
-
-        d_feat = _dot_t(d_hv_c, kp["Wvf"])
-        d_ev = _dot_t(d_hv_ray_c, kp["Wve"])  # [RV, 27]
-        fv3 = 3 * n_freq_v
-        d_vb = d_ev[:, 3 : 3 + fv3] * jnp.cos(vb) - d_ev[:, 3 + fv3 :] * jnp.sin(vb)
-        dv = d_ev[:, :3].astype(jnp.float32) + _dot_t(
-            d_vb.astype(jnp.float32), kp["Sv"]
+        accs, dx, dv = _mlp_backward_math(
+            kp, dtype, width, n_freq_p, n_freq_v, spr,
+            e, xb, ev, vb, acts, h7, feat, hv, g,
         )
-
-        d_af = jnp.concatenate([d_feat, g_a], axis=-1).astype(dtype)  # [T, W+1]
-        acc("dWaf", _dot_at(h7.astype(dtype), d_af))
-        acc("dbaf", jnp.sum(d_af.astype(jnp.float32), axis=0, keepdims=True))
-
-        d_h = _dot_t(d_af, kp["Waf"]) * (h7 > 0)
-
-        # --- trunk backward ---
-        d_e5 = None
-        for i in range(_DEPTH - 1, 0, -1):
-            d_c = d_h.astype(dtype)
-            a_prev = acts[i - 1]
-            acc(f"dW{i}", _dot_at(a_prev, d_c))
-            acc(f"db{i}", jnp.sum(d_h, axis=0, keepdims=True))
-            if i == _SKIP + 1:
-                acc("dW5e", _dot_at(e, d_c))
-                d_e5 = _dot_t(d_c, kp["W5e"])
-            # relu mask in f32: Mosaic on v5e rejects bf16 vector compares
-            d_h = _dot_t(d_c, kp[f"W{i}"]) * (a_prev.astype(jnp.float32) > 0)
-
-        d0 = d_h.astype(dtype)
-        acc("dW0e", _dot_at(e, d0))
-        acc("db0", jnp.sum(d_h, axis=0, keepdims=True))
-        d_e = _dot_t(d0, kp["W0e"]) + d_e5
-        fp3 = 3 * n_freq_p
-        d_xb = d_e[:, 3 : 3 + fp3] * jnp.cos(xb) - d_e[:, 3 + fp3 :] * jnp.sin(xb)
-        dx = d_e[:, :3].astype(jnp.float32) + _dot_t(
-            d_xb.astype(jnp.float32), kp["Sp"]
-        )
-
         dx_ref[...] = dx
         dv_ref[...] = dv
-
-        # --- accumulate weight grads across the sequential grid ---
-        for name, ref in douts.items():
-            val = accs[name].astype(jnp.float32)
-
-            @pl.when(is_first)
-            def _(ref=ref, val=val):
-                ref[...] = val
-
-            @pl.when(jnp.logical_not(is_first))
-            def _(ref=ref, val=val):
-                ref[...] = ref[...] + val
+        _accumulate_weight_grads(douts, accs)
 
     return kernel
 

@@ -38,6 +38,10 @@ class NeRFModel:
     fine: Optional[MLPConfig]
     compute_dtype: str = "float32"
     fused: bool = False
+    # single-kernel rays->maps path (ops/fused_render.py): compositing fused
+    # into the MLP kernel; falls back per-level when unsupported (retraw,
+    # no-viewdirs, sample count not a multiple of 8)
+    fused_render: bool = False
 
     def mlp_config(self, level: str) -> MLPConfig:
         if level == "fine" and self.fine is not None:

@@ -88,9 +88,34 @@ def render_rays(
     )
 
     def run_level(level: str, z: jnp.ndarray, noise_key, noise_override):
+        p_level = params.get(level) or params["coarse"]
+        mlp_cfg = model.mlp_config(level)
+
+        if model.fused_render and viewdirs is not None and not rs.retraw:
+            from nerf_tpu.ops import fused_render  # lazy: pallas import
+
+            if fused_render.supports(mlp_cfg, model.pe_pts, model.pe_views,
+                                     z.shape[-1]):
+                noise = noise_override
+                if noise is None and rs.raw_noise_std > 0.0:
+                    # identical draw to raw2outputs (ops/compositing.py:82)
+                    noise = (
+                        jax.random.normal(noise_key, z.shape, z.dtype)
+                        * rs.raw_noise_std
+                    )
+                compute_dtype = (
+                    jnp.bfloat16 if model.compute_dtype == "bfloat16"
+                    else jnp.float32
+                )
+                out = fused_render.fused_render_level(
+                    p_level, mlp_cfg, model.pe_pts, model.pe_views,
+                    rays_o, rays_d, viewdirs, z, noise, rs.white_bkgd,
+                    compute_dtype=compute_dtype,
+                )
+                return None, out
+
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
-        raw = query_raw(params.get(level) or params["coarse"],
-                        model.mlp_config(level), model, pts, viewdirs)
+        raw = query_raw(p_level, mlp_cfg, model, pts, viewdirs)
         out = raw2outputs(
             raw,
             z,
