@@ -15,14 +15,10 @@ import time
 
 import jax
 
-# persistent compile cache: the fused train step is a large program and the
-# first compile through the remote service is minutes; cache across runs
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from nerf_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,6 +17,9 @@ from nerf_tpu.train.loop import train
 def main(argv=None):
     cfg = load_config(argv)
     cfg = dataclasses.replace(cfg, render_only=True)
+    from nerf_tpu.utils import compile_cache
+
+    compile_cache.enable()
     train(cfg)
 
 

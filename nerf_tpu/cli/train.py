@@ -20,6 +20,9 @@ def main(argv=None):
     distributed.initialize(
         cfg.coordinator_address, cfg.num_processes, cfg.process_id
     )
+    from nerf_tpu.utils import compile_cache
+
+    compile_cache.enable()
     train(cfg)
 
 

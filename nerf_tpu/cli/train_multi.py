@@ -68,6 +68,9 @@ def main(argv=None):
                 )
 
     distributed.initialize(c0.coordinator_address, c0.num_processes, c0.process_id)
+    from nerf_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     scenes = [load_scene(c) for c in cfgs]
     model = make_model(c0)
