@@ -15,7 +15,7 @@ REF_CONFIGS = "/root/reference/configs"
 
 def test_shipped_presets_parse():
     names = sorted(os.listdir(REPO_CONFIGS))
-    assert len(names) == 17  # the reference's 16 + synth.txt (benchmark scene)
+    assert len(names) == 18  # the reference's 16 + synth/synthff benchmark scenes
     for n in names:
         cfg = load_config(["--config", os.path.join(REPO_CONFIGS, n)])
         assert cfg.N_rand == 1024
