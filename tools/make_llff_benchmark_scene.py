@@ -19,6 +19,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:
+    # run on host CPU (e.g. while the TPU is busy training); must precede
+    # backend init — sitecustomize ignores JAX_PLATFORMS in this image
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from nerf_tpu.data.synth import make_field, render_gt_image
 
 N_VIEWS = 24
