@@ -14,8 +14,11 @@ Design notes (TPU-first, not a translation):
   matching embedding tensor ``e = [x, sin(x·S), cos(x·S)]`` with one [3,3F]
   selector matmul + one lane-concat, and each embedding contribution is a
   single full-K MXU pass (K=63 / K=27) instead of three small-K passes.
-- The alpha and feature heads share their input, so they run as ONE matmul
-  against ``Waf = [Wf | Wa]`` ([W, W+1]) and split by lane-slice.
+- The feature head stays MXU-aligned at [W, W]; rgb and alpha come out of a
+  single ``cat([hv, h7]) @ Wout`` ([3W/2, 4]) matmul (see pack_params), so
+  no narrow-N matmul or off-128 lane-slice is left in the head.
+- bf16 mode computes the positional-encoding trig with the double-angle
+  recurrence (2 transcendentals per point instead of 2F; see _trig_blocks).
 - Backward recomputes the forward per tile (remat) — residuals are just the
   6 input floats — and accumulates weight grads in VMEM f32 scratch across
   the (sequential) grid, flushing via revisited output blocks.
@@ -120,19 +123,29 @@ def pack_params(params: Dict, cfg: MLPConfig, pe_pts: PosEncConfig,
         else:
             kp[f"W{i}"] = w.astype(dtype)
         kp[f"b{i}"] = t[i]["b"].astype(jnp.float32)[None, :]
-    # feature+alpha fused head: Waf = [Wf | Wa] -> [W, W+1]
-    kp["Waf"] = jnp.concatenate(
-        [params["feature"]["w"], params["alpha"]["w"]], axis=1
-    ).astype(dtype)
-    kp["baf"] = jnp.concatenate(
-        [params["feature"]["b"], params["alpha"]["b"]]
-    ).astype(jnp.float32)[None, :]
+    # feature head kept MXU-aligned at [W, W] (the old [W, W+1] feat|alpha
+    # fusion forced a 257-lane slice every tile)
+    kp["Wf"] = params["feature"]["w"].astype(dtype)
+    kp["bf"] = params["feature"]["b"].astype(jnp.float32)[None, :]
     wv = params["views"]["w"]  # [W + 3+6Fv, W/2], input order cat([feature, v_emb])
     kp["Wvf"] = wv[: cfg.width].astype(dtype)
     kp["Wve"] = _reorder_emb_rows(wv[cfg.width :], Fv).astype(dtype)
     kp["bv"] = params["views"]["b"].astype(jnp.float32)[None, :]
-    kp["Wr"] = params["rgb"]["w"].astype(dtype)
-    kp["br"] = params["rgb"]["b"].astype(jnp.float32)[None, :]
+    # rgb+alpha fused output: ONE [W/2+W, 4] matmul on cat([hv, h7]) replaces
+    # the N=3 rgb pass + separate alpha slice + two sliced output writes
+    wr = params["rgb"]["w"]  # [W/2, 3]
+    wa = params["alpha"]["w"]  # [W, 1]
+    hw = cfg.width // 2
+    kp["Wout"] = jnp.concatenate(
+        [
+            jnp.concatenate([wr, jnp.zeros((hw, 1), wr.dtype)], axis=1),
+            jnp.concatenate([jnp.zeros((cfg.width, 3), wa.dtype), wa], axis=1),
+        ],
+        axis=0,
+    ).astype(dtype)
+    kp["bout"] = jnp.concatenate(
+        [params["rgb"]["b"], params["alpha"]["b"]]
+    ).astype(jnp.float32)[None, :]
     kp["Sp"] = _selector(Fp)
     kp["Sv"] = _selector(Fv)
     return kp
@@ -171,33 +184,53 @@ _KP_ORDER = [
     "W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4",
     "W5", "W5e", "b5",
     "W6", "b6", "W7", "b7",
-    "Waf", "baf",
+    "Wf", "bf",
     "Wvf", "Wve", "bv",
-    "Wr", "br", "Sp", "Sv",
+    "Wout", "bout", "Sp", "Sv",
 ]
 
 
+def _trig_blocks(x, sel, num_freqs, dtype):
+    """sin/cos of x*2^f for f=0..F-1, freq-major [T, 3F] f32 each.
+
+    bf16 mode uses the double-angle recurrence sin(2t)=2sc, cos(2t)=1-2s^2 —
+    2 transcendentals per point instead of 2F, with f32 error growing ~2x per
+    doubling (~3e-5 abs at F=10), invisible under bf16 quantization. The f32
+    parity path keeps exact per-frequency trig (and its Sp/Sv selector
+    matmul) so reference-tolerance tests are unaffected.
+    """
+    if dtype == jnp.float32 or num_freqs == 1:
+        xb = _dot(x, sel)
+        return jnp.sin(xb), jnp.cos(xb)
+    s = jnp.sin(x)
+    c = jnp.cos(x)
+    ss, cs = [s], [c]
+    for _ in range(num_freqs - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        ss.append(s)
+        cs.append(c)
+    return jnp.concatenate(ss, axis=-1), jnp.concatenate(cs, axis=-1)
+
+
 def _embed_pts(x, kp, dtype):
-    """e [T, 63] in kernel row-order, plus xb for bwd trig."""
-    xb = _dot(x, kp["Sp"])
+    """e [T, 63] in kernel row-order, plus f32 sin/cos blocks for bwd trig."""
+    s, c = _trig_blocks(x, kp["Sp"], kp["Sp"].shape[1] // 3, dtype)
     e = jnp.concatenate(
-        [x.astype(dtype), jnp.sin(xb).astype(dtype), jnp.cos(xb).astype(dtype)],
-        axis=-1,
+        [x.astype(dtype), s.astype(dtype), c.astype(dtype)], axis=-1
     )
-    return e, xb
+    return e, s, c
 
 
 def _embed_views(v, kp, dtype):
-    """ev [RV, 27] in kernel row-order, plus vb for bwd trig.
+    """ev [RV, 27] in kernel row-order, plus f32 sin/cos blocks for bwd trig.
 
     RV is the number of *rays* in the tile (ray-major mode) or the number of
     points (dense mode, samples_per_ray == 1)."""
-    vb = _dot(v, kp["Sv"])
+    s, c = _trig_blocks(v, kp["Sv"], kp["Sv"].shape[1] // 3, dtype)
     ev = jnp.concatenate(
-        [v.astype(dtype), jnp.sin(vb).astype(dtype), jnp.cos(vb).astype(dtype)],
-        axis=-1,
+        [v.astype(dtype), s.astype(dtype), c.astype(dtype)], axis=-1
     )
-    return ev, vb
+    return ev, s, c
 
 
 def _per_ray_to_per_point(x_ray, spr):
@@ -233,49 +266,56 @@ def _trunk_forward(e, kp, dtype, keep_acts=False):
 
 def _head_forward(h, ev, kp, dtype, width, spr):
     """ev is per-ray [RV, 27]; its Wve contribution is computed per ray and
-    broadcast to the tile's RV*spr points (spr=1 -> dense/per-point mode)."""
+    broadcast to the tile's RV*spr points (spr=1 -> dense/per-point mode).
+
+    Returns (out [T, 4] = cat(rgb, alpha), feat, hv): rgb and alpha come out
+    of one [T, 3W/2] @ [3W/2, 4] matmul on cat([hv, h7]) (see pack_params).
+    """
     hc = h.astype(dtype)
-    af = _dot(hc, kp["Waf"]) + kp["baf"]  # [T, W+1]
-    feat = af[:, :width]
-    alpha = af[:, width:]
+    feat = _dot(hc, kp["Wf"]) + kp["bf"]  # [T, W]
     ev_contrib = _per_ray_to_per_point(_dot(ev, kp["Wve"]), spr)
     hv = jax.nn.relu(_dot(feat.astype(dtype), kp["Wvf"]) + ev_contrib + kp["bv"])
-    rgb = _dot(hv.astype(dtype), kp["Wr"]) + kp["br"]
-    return alpha, feat, hv, rgb
+    cat = jnp.concatenate([hv.astype(dtype), hc], axis=-1)  # [T, W/2 + W]
+    out = _dot(cat, kp["Wout"]) + kp["bout"]  # [T, 4] = (rgb, alpha)
+    return out, feat, hv
 
 
 def _fwd_kernel(dtype, width, spr, *refs):
     *kp_refs, x_ref, v_ref, out_ref = refs
     kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
-    e, _ = _embed_pts(x_ref[...], kp, dtype)
-    ev, _ = _embed_views(v_ref[...], kp, dtype)
+    e, _, _ = _embed_pts(x_ref[...], kp, dtype)
+    ev, _, _ = _embed_views(v_ref[...], kp, dtype)
     h, _ = _trunk_forward(e, kp, dtype)
-    alpha, _, _, rgb = _head_forward(h, ev, kp, dtype, width, spr)
-    out_ref[:, 0:3] = rgb
-    out_ref[:, 3:4] = alpha
+    out, _, _ = _head_forward(h, ev, kp, dtype, width, spr)
+    out_ref[...] = out
 
 
 def _mlp_backward_math(
     kp, dtype, width, n_freq_p, n_freq_v, spr,
-    e, xb, ev, vb, acts, h7, feat, hv, g,
+    e, sp, cp, ev, sv, cv, acts, h7, feat, hv, g,
     want_input_grads=True,
 ):
     """Shared backward math: cotangent g [T, 4] on raw -> (weight-grad dict,
-    dx [T, 3], dv [RV, 3]). ``want_input_grads=False`` skips the d_e/dx/dv
-    branch (used by the fused render op, whose inputs — rays and z — are
-    non-differentiated leaves in the training graph, ref run_nerf.py:394)."""
+    dx [T, 3], dv [RV, 3]). ``sp/cp`` (``sv/cv``) are the f32 sin/cos blocks
+    from the forward embed, reused for the trig grads. ``want_input_grads=
+    False`` skips the d_e/dx/dv branch (used by the fused render op, whose
+    inputs — rays and z — are non-differentiated leaves in the training
+    graph, ref run_nerf.py:394)."""
     accs = {}
 
     def acc(name, val):
         accs[name] = val
 
-    # --- head backward ---
-    g_rgb = g[:, 0:3].astype(jnp.float32)
-    g_a = g[:, 3:4].astype(jnp.float32)
-
-    acc("dWr", _dot_at(hv.astype(dtype), g_rgb.astype(dtype)))
-    acc("dbr", jnp.sum(g_rgb, axis=0, keepdims=True))
-    d_hv = _dot_t(g_rgb.astype(dtype), kp["Wr"]) * (hv > 0)
+    # --- head backward (out = cat([hv, h7]) @ Wout + bout) ---
+    g32 = g.astype(jnp.float32)
+    gc = g32.astype(dtype)
+    hw = width // 2
+    cat = jnp.concatenate([hv.astype(dtype), h7.astype(dtype)], axis=-1)
+    acc("dWout", _dot_at(cat, gc))
+    acc("dbout", jnp.sum(g32, axis=0, keepdims=True))
+    d_cat = _dot_t(gc, kp["Wout"])  # [T, W/2 + W] f32
+    d_hv = d_cat[:, :hw] * (hv > 0)
+    d_h7_out = d_cat[:, hw:]
     d_hv_c = d_hv.astype(dtype)
 
     acc("dWvf", _dot_at(feat.astype(dtype), d_hv_c))
@@ -290,16 +330,16 @@ def _mlp_backward_math(
     if want_input_grads:
         d_ev = _dot_t(d_hv_ray_c, kp["Wve"])  # [RV, 27]
         fv3 = 3 * n_freq_v
-        d_vb = d_ev[:, 3 : 3 + fv3] * jnp.cos(vb) - d_ev[:, 3 + fv3 :] * jnp.sin(vb)
+        d_vb = d_ev[:, 3 : 3 + fv3] * cv - d_ev[:, 3 + fv3 :] * sv
         dv = d_ev[:, :3].astype(jnp.float32) + _dot_t(
             d_vb.astype(jnp.float32), kp["Sv"]
         )
 
-    d_af = jnp.concatenate([d_feat, g_a], axis=-1).astype(dtype)  # [T, W+1]
-    acc("dWaf", _dot_at(h7.astype(dtype), d_af))
-    acc("dbaf", jnp.sum(d_af.astype(jnp.float32), axis=0, keepdims=True))
+    d_feat_c = d_feat.astype(dtype)
+    acc("dWf", _dot_at(h7.astype(dtype), d_feat_c))
+    acc("dbf", jnp.sum(d_feat, axis=0, keepdims=True))
 
-    d_h = _dot_t(d_af, kp["Waf"]) * (h7 > 0)
+    d_h = (_dot_t(d_feat_c, kp["Wf"]) + d_h7_out) * (h7 > 0)
 
     # --- trunk backward ---
     d_e5 = None
@@ -322,7 +362,7 @@ def _mlp_backward_math(
     if want_input_grads:
         d_e = _dot_t(d0, kp["W0e"]) + d_e5
         fp3 = 3 * n_freq_p
-        d_xb = d_e[:, 3 : 3 + fp3] * jnp.cos(xb) - d_e[:, 3 + fp3 :] * jnp.sin(xb)
+        d_xb = d_e[:, 3 : 3 + fp3] * cp - d_e[:, 3 + fp3 :] * sp
         dx = d_e[:, :3].astype(jnp.float32) + _dot_t(
             d_xb.astype(jnp.float32), kp["Sp"]
         )
@@ -361,17 +401,17 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
         v = v_ref[...]
         g = g_ref[...]
 
-        e, xb = _embed_pts(x, kp, dtype)
-        ev, vb = _embed_views(v, kp, dtype)
+        e, sp, cp = _embed_pts(x, kp, dtype)
+        ev, sv, cv = _embed_views(v, kp, dtype)
 
         # --- recompute forward, keeping activations ---
         h7, acts = _trunk_forward(e, kp, dtype, keep_acts=True)
         acts = acts[:-1]  # [h0..h6]
-        alpha, feat, hv, rgb = _head_forward(h7, ev, kp, dtype, width, spr)
+        _, feat, hv = _head_forward(h7, ev, kp, dtype, width, spr)
 
         accs, dx, dv = _mlp_backward_math(
             kp, dtype, width, n_freq_p, n_freq_v, spr,
-            e, xb, ev, vb, acts, h7, feat, hv, g,
+            e, sp, cp, ev, sv, cv, acts, h7, feat, hv, g,
         )
         dx_ref[...] = dx
         dv_ref[...] = dv

@@ -80,6 +80,38 @@ def _f32_dot(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _flatten_rays(x2d):
+    """[R, S] -> [R*S, 1] with row k = x2d[k // S, k mod S].
+
+    Mosaic supports the [T,1]->[R,S] shape cast but NOT its inverse (the
+    sublane-merge relayout), so this direction is built from iota masks and
+    one tiny MXU matmul: rows are replicated per ray via a [T, R] selector,
+    then the per-row sample column is picked with a mod-iota mask.
+    """
+    R, S = x2d.shape
+    T = R * S
+    k_r = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)
+    r_r = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
+    At = (k_r // S == r_r).astype(jnp.float32)  # [T, R]
+    xs = _f32_dot(At, x2d)  # [T, S]: row k = x2d[k // S, :]
+    k_s = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    s_s = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    sel = (k_s % S == s_s).astype(jnp.float32)
+    return jnp.sum(xs * sel, axis=1, keepdims=True)  # [T, 1]
+
+
+def _weighted_rgb_sum(w, rgbs):
+    """rgb_map [R, 3]: sum_s w[r,s] * rgbs[r*S+s, c], per channel in the
+    ray-major 2D layout (the [T,3]->[R,S,3] cast is unsupported on Mosaic;
+    [T,1]->[R,S] is supported)."""
+    R, S = w.shape
+    cols = [
+        jnp.sum(w * rgbs[:, c : c + 1].reshape(R, S), axis=-1, keepdims=True)
+        for c in range(3)
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
 def _composite(sigma_raw, rgb_raw, o, d, v, z, noise, tri, S, white_bkgd):
     """In-kernel raw2outputs (semantics: ops/compositing.py / run_nerf.py:262-305).
 
@@ -100,8 +132,7 @@ def _composite(sigma_raw, rgb_raw, o, d, v, z, noise, tri, S, white_bkgd):
     w = alpha * trans  # [R, S]
 
     rgbs = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))  # [R*S, 3]
-    w_flat = w.reshape(rpt * S, 1)
-    rgb_map = jnp.sum((w_flat * rgbs).reshape(rpt, S, 3), axis=1)
+    rgb_map = _weighted_rgb_sum(w, rgbs)
     depth = jnp.sum(w * z, axis=-1, keepdims=True)
     acc = jnp.sum(w, axis=-1, keepdims=True)
     disp = 1.0 / jnp.maximum(1e-10, depth / acc)
@@ -129,12 +160,12 @@ def _fwd_kernel(dtype, width, S, white_bkgd, *refs):
 
     o, d, v, z = o_ref[...], d_ref[...], v_ref[...], z_ref[...]
     x = _points_from_rays(o, d, z, S)
-    e, _ = _embed_pts(x, kp, dtype)
-    ev, _ = _embed_views(v, kp, dtype)
+    e, _, _ = _embed_pts(x, kp, dtype)
+    ev, _, _ = _embed_views(v, kp, dtype)
     h7, _ = _trunk_forward(e, kp, dtype)
-    sigma_raw, _, _, rgb_raw = _head_forward(h7, ev, kp, dtype, width, S)
-    cmp = _composite(sigma_raw, rgb_raw, o, d, v, z, n_ref[...], tri_ref[...],
-                     S, white_bkgd)
+    out, _, _ = _head_forward(h7, ev, kp, dtype, width, S)
+    cmp = _composite(out[:, 3:4], out[:, 0:3], o, d, v, z, n_ref[...],
+                     tri_ref[...], S, white_bkgd)
     rgb_ref[...] = cmp["rgb_map"]
     disp_ref[...] = cmp["disp"]
     acc_ref[...] = cmp["acc"]
@@ -157,12 +188,12 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, S, white_bkgd):
 
         # --- recompute forward (remat), keeping trunk activations ---
         x = _points_from_rays(o, d, z, S)
-        e, xb = _embed_pts(x, kp, dtype)
-        ev, vb = _embed_views(v, kp, dtype)
+        e, sp, cp = _embed_pts(x, kp, dtype)
+        ev, sv, cv = _embed_views(v, kp, dtype)
         h7, acts = _trunk_forward(e, kp, dtype, keep_acts=True)
         acts = acts[:-1]
-        sigma_raw, feat, hv, rgb_raw = _head_forward(h7, ev, kp, dtype, width, S)
-        cmp = _composite(sigma_raw, rgb_raw, o, d, v, z, n_ref[...], tri,
+        out, feat, hv = _head_forward(h7, ev, kp, dtype, width, S)
+        cmp = _composite(out[:, 3:4], out[:, 0:3], o, d, v, z, n_ref[...], tri,
                          S, white_bkgd)
         w, c, trans, rgbs = cmp["w"], cmp["c"], cmp["trans"], cmp["rgbs"]
         depth, acc = cmp["depth"], cmp["acc"]
@@ -183,9 +214,11 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, S, white_bkgd):
         if white_bkgd:
             g_acc_t = g_acc_t - jnp.sum(g_rgb, axis=-1, keepdims=True)
 
-        # per-point rgb contribution: sum_c g_rgb_c * rgbs_c
-        rgb_dot = jnp.sum(
-            (g_rgb[:, None, :] * rgbs.reshape(rpt, S, 3)), axis=-1
+        # per-point rgb contribution: sum_c g_rgb_c * rgbs_c (per channel in
+        # the 2D layout; the [T,3]->[R,S,3] cast is unsupported on Mosaic)
+        rgb_dot = sum(
+            g_rgb[:, c : c + 1] * rgbs[:, c : c + 1].reshape(rpt, S)
+            for c in range(3)
         )  # [R, S]
         t_w = g_w + rgb_dot + g_depth * z + g_acc_t  # cotangent on w [R, S]
 
@@ -198,19 +231,22 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, S, white_bkgd):
         d_relu_sig = d_alpha * cmp["ealpha"] * cmp["dists"]
         d_sigma = d_relu_sig * (cmp["sigma"] > 0).astype(jnp.float32)
 
-        # rgb_raw backward: rgb_map = sum w * sigmoid(rgb_raw)
-        rgbs3 = rgbs.reshape(rpt, S, 3)
-        d_rgb_raw = (
-            w.reshape(rpt, S, 1) * rgbs3 * (1.0 - rgbs3) * g_rgb[:, None, :]
+        # rgb_raw backward: rgb_map = sum w * sigmoid(rgb_raw); flat layout
+        # (w and g_rgb lifted per point — broadcast [R,3]->[T,3] and the
+        # matmul-based [R,S]->[T,1] flatten are Mosaic-supported)
+        g_rgb_flat = jnp.broadcast_to(
+            g_rgb[:, None, :], (rpt, S, 3)
         ).reshape(rpt * S, 3)
+        w_flat = _flatten_rays(w)  # [T, 1]
+        d_rgb_raw = w_flat * rgbs * (1.0 - rgbs) * g_rgb_flat  # [T, 3]
 
         g_pt = jnp.concatenate(
-            [d_rgb_raw, d_sigma.reshape(rpt * S, 1)], axis=-1
+            [d_rgb_raw, _flatten_rays(d_sigma)], axis=-1
         )  # [R*S, 4] cotangent on raw
 
         accs, _, _ = _mlp_backward_math(
             kp, dtype, width, n_freq_p, n_freq_v, S,
-            e, xb, ev, vb, acts, h7, feat, hv, g_pt,
+            e, sp, cp, ev, sv, cv, acts, h7, feat, hv, g_pt,
             want_input_grads=False,
         )
         _accumulate_weight_grads(douts, accs)
