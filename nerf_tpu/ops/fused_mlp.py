@@ -195,9 +195,10 @@ def _trig_blocks(x, sel, num_freqs, dtype):
 
     bf16 mode uses the double-angle recurrence sin(2t)=2sc, cos(2t)=1-2s^2 —
     2 transcendentals per point instead of 2F, with f32 error growing ~2x per
-    doubling (~3e-5 abs at F=10), invisible under bf16 quantization. The f32
-    parity path keeps exact per-frequency trig (and its Sp/Sv selector
-    matmul) so reference-tolerance tests are unaffected.
+    doubling: measured max abs error ~7e-4 at the top frequency (F=10) over
+    scene-scale coords |x|<=6, still well below bf16 quantization (~4e-3).
+    The f32 parity path keeps exact per-frequency trig (and its Sp/Sv
+    selector matmul) so reference-tolerance tests are unaffected.
     """
     if dtype == jnp.float32 or num_freqs == 1:
         xb = _dot(x, sel)

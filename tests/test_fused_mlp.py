@@ -5,6 +5,7 @@ the same assertions run compiled (see bench / TPU smoke drives).
 """
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,6 +107,43 @@ def test_input_grads_match_jnp_f32():
     gx_r, gd_r = jax.grad(f_jnp, argnums=(0, 1))(pts, dirs)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gd_f), np.asarray(gd_r), rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_grads_close_to_jnp():
+    """Backward parity for the PRODUCTION (bf16) mode.
+
+    bf16 exercises the double-angle trig recurrence (the f32 branch takes the
+    exact selector-matmul path, so f32 grad tests never touch it) and the
+    fused Wout head backward under bf16 rounding. Tolerance is relative L2
+    per leaf: bf16 matmuls with f32 accumulation land well under 5%.
+    """
+    cfg, params = _setup(5)
+    pts, dirs = _inputs(6, R=2, S=64)
+    target = jnp.asarray(
+        np.random.default_rng(7).uniform(-1, 1, (2, 64, 4)).astype(np.float32)
+    )
+
+    def loss_fused(p):
+        out = fused_mlp.fused_query(p, cfg, PE_P, PE_V, pts, dirs,
+                                    compute_dtype=jnp.bfloat16)
+        return jnp.mean((out - target) ** 2)
+
+    def loss_jnp(p):
+        return jnp.mean((_jnp_raw(p, cfg, pts, dirs) - target) ** 2)
+
+    g_fused = jax.grad(loss_fused)(params)
+    g_ref = jax.grad(loss_jnp)(params)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    rel_l2 = float(jnp.linalg.norm(flat_f - flat_r) / jnp.linalg.norm(flat_r))
+    assert rel_l2 < 0.05, f"bf16 fused grad rel-L2 error {rel_l2:.4f}"
+    # and per-leaf: no single tensor silently wrong while the norm hides it
+    # (absolute floor: leaves with ~0 reference norm only need to stay small
+    # relative to the global gradient scale)
+    floor = 1e-3 * float(jnp.linalg.norm(flat_r))
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        na, nb = jnp.linalg.norm(a - b), jnp.linalg.norm(b)
+        assert float(na) <= 0.08 * float(nb) + floor, (a.shape, float(na), float(nb))
 
 
 def test_bf16_forward_close_to_f32():

@@ -31,7 +31,6 @@ import numpy as np
 
 def timeit(fn, *args, iters=50):
     out = fn(*args)
-    jax.tree.util = jax.tree_util
     float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     t0 = time.time()
     for _ in range(iters):

@@ -33,7 +33,10 @@ def main():
 
     n_rand = 4096
     if "--nrand" in sys.argv:
-        n_rand = int(sys.argv[sys.argv.index("--nrand") + 1])
+        idx = sys.argv.index("--nrand")
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit("--nrand requires a value, e.g. --nrand 8192")
+        n_rand = int(sys.argv[idx + 1])
     fused = "--unfused" not in sys.argv
     fused_render = "--fused-render" in sys.argv
 
@@ -81,7 +84,7 @@ def main():
     dt = (time.time() - t0) / n_iters
 
     tag = (
-        f"fused_render" if fused_render else ("fused_mlp" if fused else "unfused")
+        "fused_render" if fused_render else ("fused_mlp" if fused else "unfused")
     )
     ft = os.environ.get("NERF_TPU_FWD_TILE", "1024")
     bt = os.environ.get("NERF_TPU_BWD_TILE", "1024")

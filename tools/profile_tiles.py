@@ -1,4 +1,10 @@
-"""One-off: sweep fused-kernel tile sizes on the real chip."""
+"""Sweep fused-kernel tile sizes on the real chip.
+
+Times the fused posenc+MLP kernel (fine-pass shape: 4096 rays x 192 samples)
+forward and forward+backward across FWD_TILE / BWD_TILE values. Each timed
+call gets a DISTINCT input array (cycled from a small pool) so repeat-call
+elision by the runtime can't fake a win.
+"""
 import os, sys, time
 import jax
 
@@ -8,6 +14,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nerf_tpu.models.embedding import PosEncConfig
 from nerf_tpu.models.factory import init_model_params
@@ -21,7 +29,8 @@ params = init_model_params(jax.random.key(0), model)["coarse"]
 
 NPTS = 4096 * 192  # the fine pass size
 rng = np.random.default_rng(0)
-pts = jnp.asarray(rng.standard_normal((4096, 192, 3)).astype(np.float32))
+NIN = 8
+pts_list = [jnp.asarray(rng.standard_normal((4096, 192, 3)).astype(np.float32)) for _ in range(NIN)]
 vd = rng.standard_normal((4096, 3)).astype(np.float32)
 vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
 vd = jnp.asarray(vd)
@@ -29,17 +38,16 @@ g = jnp.asarray(rng.standard_normal((4096, 192, 4)).astype(np.float32))
 
 fwd_flop = NPTS * 2 * (63*256 + 6*256*256 + (256+63)*256 + 256*257 + (256+27)*128 + 128*3)
 
-def run(name, f, *a, n=20):
+def run(name, f, n=24):
     try:
-        out = f(*a); jax.block_until_ready(out)
+        outs = [f(params, pts_list[i % NIN], vd) for i in range(2)]
+        jax.block_until_ready(outs)
     except Exception as e:
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
         return
-    out = f(*a); jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(n):
-        out = f(*a)
-    jax.block_until_ready(out)
+    outs = [f(params, pts_list[i % NIN], vd) for i in range(n)]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / n
     print(f"{name}: {dt*1000:7.2f} ms  ({fwd_flop/dt/1e12:6.1f} eff-TFLOP/s fwd-equiv)", flush=True)
 
@@ -55,11 +63,13 @@ def mk_bwd():
         return jnp.sum(out.astype(jnp.float32) * g)
     return jax.jit(jax.grad(loss))
 
-for tile in (1024, 2048, 4096, 8192):
-    fused_mlp.FWD_TILE = tile
-    run(f"fwd tile={tile}", mk_fwd(), params, pts, vd)
-
+which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if which in ("all", "fwd"):
+    for tile in (1024, 2048, 4096, 8192):
+        fused_mlp.FWD_TILE = tile
+        run(f"fwd tile={tile}", mk_fwd())
 fused_mlp.FWD_TILE = 1024
-for tile in (512, 1024, 2048):
-    fused_mlp.BWD_TILE = tile
-    run(f"fwd+bwd bwdtile={tile}", mk_bwd(), params, pts, vd)
+if which in ("all", "bwd"):
+    for tile in (512, 1024, 2048):
+        fused_mlp.BWD_TILE = tile
+        run(f"fwd+bwd bwdtile={tile}", mk_bwd())
