@@ -262,3 +262,34 @@ def render_image(
     return {
         k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
     }
+
+
+def make_frame_renderer(
+    model: NeRFModel,
+    rs: RenderSettings,
+    H: int,
+    W: int,
+    K,
+    near: float,
+    far: float,
+    chunk: int = 1024 * 32,
+):
+    """One jitted (params, c2w) -> frame program for eval/video paths.
+
+    The eager per-frame ``render_image`` dispatches its preamble op-by-op and
+    re-traces the lax.map per call site; for a pose PATH (ref render_path,
+    run_nerf.py:137-175) that overhead — plus the host sync after every
+    frame — serializes device and host. This wraps the whole frame in ONE
+    jit (compiled once per (H, W, chunk) shape); async dispatch then lets
+    the caller enqueue frame i+1 while fetching frame i (see
+    train/loop.py render_path's depth-2 pipeline).
+    """
+    K_j = jnp.asarray(K)
+
+    @jax.jit
+    def render_frame(params, c2w):
+        return render_image(
+            params, model, rs, H, W, K_j, c2w, near, far, chunk=chunk
+        )
+
+    return render_frame

@@ -23,7 +23,7 @@ from nerf_tpu.config import NeRFConfig, dump_config
 from nerf_tpu.data.rays_dataset import make_sampler
 from nerf_tpu.data.scene import Scene
 from nerf_tpu.models.factory import init_model_params, make_model
-from nerf_tpu.render.renderer import RenderSettings, render_image
+from nerf_tpu.render.renderer import RenderSettings, make_frame_renderer
 from nerf_tpu.train.step import TrainState, init_train_state, make_train_step
 from nerf_tpu.utils import checkpoint as ckpt_lib
 from nerf_tpu.utils.io import save_png, save_video
@@ -81,11 +81,13 @@ def render_path(
     render_factor: int = 0,
     savedir: Optional[str] = None,
     gt_imgs: Optional[np.ndarray] = None,
+    render_frame=None,
 ):
     """Render a pose path (ref render_path, run_nerf.py:137-175).
 
     Returns (rgbs, disps) as numpy [M, H, W, ...]. Optional render_factor
-    downsamples for fast previews.
+    downsamples for fast previews. ``render_frame`` (a make_frame_renderer
+    result) can be passed in to reuse one traced program across eval calls.
     """
     H, W, focal = scene.H, scene.W, scene.focal
     if render_factor != 0:
@@ -94,14 +96,17 @@ def render_path(
 
     rs_eval = rs.eval_mode()
     near, far = (0.0, 1.0) if rs.ndc else (scene.near, scene.far)
+    if render_frame is None:
+        render_frame = make_frame_renderer(
+            model, rs_eval, H, W, K, near, far, chunk=chunk
+        )
+
     rgbs, disps = [], []
     psnrs = []
-    for i, c2w in enumerate(poses):
-        out = render_image(
-            params, model, rs_eval, H, W, jnp.asarray(K),
-            jnp.asarray(np.asarray(c2w)[:3, :4]),
-            near, far, chunk=chunk,
-        )
+
+    def drain(i, out):
+        # device->host fetch (the only sync) + host-side PNG/PSNR work —
+        # overlapped with the NEXT frame's device compute (already enqueued)
         rgb = np.asarray(out["rgb_map"])
         rgbs.append(rgb)
         disps.append(np.asarray(out["disp_map"]))
@@ -110,6 +115,17 @@ def render_path(
             psnrs.append(p)
         if savedir is not None:
             save_png(os.path.join(savedir, f"{i:03d}.png"), rgb)
+
+    # depth-2 pipeline: enqueue frame i+1 before fetching frame i, so host
+    # I/O rides under device compute instead of serializing with it
+    pending = None
+    for i, c2w in enumerate(poses):
+        out = render_frame(params, jnp.asarray(np.asarray(c2w)[:3, :4]))
+        if pending is not None:
+            drain(*pending)
+        pending = (i, out)
+    if pending is not None:
+        drain(*pending)
     if psnrs:
         print(f"[EVAL] mean PSNR over {len(psnrs)} views: {np.mean(psnrs):.3f}")
     return np.stack(rgbs, 0), np.stack(disps, 0)
@@ -217,6 +233,20 @@ def train(
         # NamedSharding-replicated, so pull once per eval (a few MB)
         return jax.device_get(st.params) if mesh is not None else st.params
 
+    # ONE jitted frame program shared by every full-res eval site (i_img,
+    # i_video spiral, i_testset) — traced lazily on first eval, reused after
+    _frame_renderer = []
+
+    def frame_renderer():
+        if not _frame_renderer:
+            _frame_renderer.append(
+                make_frame_renderer(
+                    model, rs.eval_mode(), scene.H, scene.W, scene.K,
+                    near, far, chunk=cfg.chunk,
+                )
+            )
+        return _frame_renderer[0]
+
     # one source of truth for throughput/MFU (shared with bench.py)
     pts_per_ray = (
         2 * cfg.N_samples + cfg.N_importance
@@ -268,10 +298,9 @@ def train(
             # holdout-view PSNR (the reference's i_img logging is dead code,
             # run_nerf.py:842-861; here it's live): render one val view
             img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
-            out = render_image(
-                eval_params(state), model, rs.eval_mode(), scene.H, scene.W,
-                jnp.asarray(scene.K), jnp.asarray(scene.poses[img_i]),
-                near, far, chunk=cfg.chunk,
+            out = frame_renderer()(
+                eval_params(state),
+                jnp.asarray(scene.poses[img_i][:3, :4]),
             )
             holdout_psnr = float(
                 mse2psnr(img2mse(out["rgb_map"], jnp.asarray(scene.images[img_i])))
@@ -282,7 +311,8 @@ def train(
             print("Saved checkpoints at", path)
         if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
             rgbs, disps = render_path(
-                eval_params(state), model, rs, scene, scene.render_poses, cfg.chunk
+                eval_params(state), model, rs, scene, scene.render_poses,
+                cfg.chunk, render_frame=frame_renderer(),
             )
             base = os.path.join(expdir, f"{cfg.expname}_spiral_{i:06d}_")
             save_video(base + "rgb.mp4", rgbs)
@@ -293,6 +323,7 @@ def train(
             render_path(
                 eval_params(state), model, rs, scene, scene.poses[scene.i_test],
                 cfg.chunk, savedir=testsavedir, gt_imgs=scene.images[scene.i_test],
+                render_frame=frame_renderer(),
             )
         if (
             (cfg.i_img > 0 and i % cfg.i_img == 0)
