@@ -53,6 +53,12 @@ import os as _os
 
 FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "1024"))
 BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "1024"))
+# bf16 posenc trig: "selector" = Sp/Sv matmul + per-frequency sin/cos on the
+# well-laid-out [T, 3F] block; "recurrence" = double-angle chain (2
+# transcendentals per point, but a 9-deep serial chain of [T, 3] ops that
+# uses 3 of 128 VPU lanes). A/B-switchable for the v5e tile/variant sweep
+# (tools/bench_variants.py, docs/PERF.md).
+TRIG_MODE = _os.environ.get("NERF_TPU_TRIG", "recurrence")
 # bwd holds 8 trunk activations + weight-grad accumulators + weights (all
 # double-buffered by Mosaic) — beyond the default 16 MB scoped-vmem limit,
 # so raise it explicitly (v5e has headroom above the default).
@@ -200,7 +206,7 @@ def _trig_blocks(x, sel, num_freqs, dtype):
     The f32 parity path keeps exact per-frequency trig (and its Sp/Sv
     selector matmul) so reference-tolerance tests are unaffected.
     """
-    if dtype == jnp.float32 or num_freqs == 1:
+    if dtype == jnp.float32 or num_freqs == 1 or TRIG_MODE == "selector":
         xb = _dot(x, sel)
         return jnp.sin(xb), jnp.cos(xb)
     s = jnp.sin(x)

@@ -109,14 +109,20 @@ def test_input_grads_match_jnp_f32():
     np.testing.assert_allclose(np.asarray(gd_f), np.asarray(gd_r), rtol=1e-4, atol=1e-4)
 
 
-def test_bf16_grads_close_to_jnp():
-    """Backward parity for the PRODUCTION (bf16) mode.
+import pytest
 
-    bf16 exercises the double-angle trig recurrence (the f32 branch takes the
-    exact selector-matmul path, so f32 grad tests never touch it) and the
-    fused Wout head backward under bf16 rounding. Tolerance is relative L2
-    per leaf: bf16 matmuls with f32 accumulation land well under 5%.
+
+@pytest.mark.parametrize("trig_mode", ["recurrence", "selector"])
+def test_bf16_grads_close_to_jnp(trig_mode, monkeypatch):
+    """Backward parity for the PRODUCTION (bf16) mode, in BOTH trig modes.
+
+    "recurrence" exercises the double-angle chain (the f32 branch always
+    takes the exact selector path, so f32 grad tests never touch it);
+    "selector" exercises bf16 with per-frequency trig. Also covers the fused
+    Wout head backward under bf16 rounding. Tolerance is relative L2 per
+    leaf: bf16 matmuls with f32 accumulation land well under 5%.
     """
+    monkeypatch.setattr(fused_mlp, "TRIG_MODE", trig_mode)
     cfg, params = _setup(5)
     pts, dirs = _inputs(6, R=2, S=64)
     target = jnp.asarray(
