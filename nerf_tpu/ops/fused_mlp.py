@@ -56,9 +56,10 @@ BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "1024"))
 # bf16 posenc trig: "selector" = Sp/Sv matmul + per-frequency sin/cos on the
 # well-laid-out [T, 3F] block; "recurrence" = double-angle chain (2
 # transcendentals per point, but a 9-deep serial chain of [T, 3] ops that
-# uses 3 of 128 VPU lanes). A/B-switchable for the v5e tile/variant sweep
-# (tools/bench_variants.py, docs/PERF.md).
-TRIG_MODE = _os.environ.get("NERF_TPU_TRIG", "recurrence")
+# uses 3 of 128 VPU lanes). Measured on v5e (docs/PERF.md): selector 48.3
+# ms/step vs recurrence 51.0 — the recurrence WAS the r01->r02 bench
+# regression, so selector is the default.
+TRIG_MODE = _os.environ.get("NERF_TPU_TRIG", "selector")
 # bwd holds 8 trunk activations + weight-grad accumulators + weights (all
 # double-buffered by Mosaic) — beyond the default 16 MB scoped-vmem limit,
 # so raise it explicitly (v5e has headroom above the default).

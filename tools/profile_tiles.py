@@ -38,16 +38,22 @@ g = jnp.asarray(rng.standard_normal((4096, 192, 4)).astype(np.float32))
 
 fwd_flop = NPTS * 2 * (63*256 + 6*256*256 + (256+63)*256 + 256*257 + (256+27)*128 + 128*3)
 
+def _fence(out):
+    # axon platform: block_until_ready returns before the async queue drains;
+    # only a host VALUE fetch truly syncs (see tools/bench_variants.py)
+    return float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
 def run(name, f, n=24):
     try:
         outs = [f(params, pts_list[i % NIN], vd) for i in range(2)]
-        jax.block_until_ready(outs)
+        _fence(outs[-1])
     except Exception as e:
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
         return
     t0 = time.time()
     outs = [f(params, pts_list[i % NIN], vd) for i in range(n)]
-    jax.block_until_ready(outs)
+    _fence(outs[-1])
     dt = (time.time() - t0) / n
     print(f"{name}: {dt*1000:7.2f} ms  ({fwd_flop/dt/1e12:6.1f} eff-TFLOP/s fwd-equiv)", flush=True)
 
