@@ -53,13 +53,17 @@ import os as _os
 
 FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "1024"))
 BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "1024"))
-# bf16 posenc trig: "selector" = Sp/Sv matmul + per-frequency sin/cos on the
-# well-laid-out [T, 3F] block; "recurrence" = double-angle chain (2
-# transcendentals per point, but a 9-deep serial chain of [T, 3] ops that
-# uses 3 of 128 VPU lanes). Measured on v5e (docs/PERF.md): selector 48.3
-# ms/step vs recurrence 51.0 — the recurrence WAS the r01->r02 bench
-# regression, so selector is the default.
-TRIG_MODE = _os.environ.get("NERF_TPU_TRIG", "selector")
+# bf16 posenc trig (measured on v5e, docs/PERF.md):
+# - "poly" (default): selector matmul + ONE shared range reduction + deg-9/10
+#   minimax polynomials for sin/cos on the [T, 3F] block. 6x faster than
+#   jnp.sin/cos in-kernel (0.42 vs 2.55 ms per fine fwd pass) at 1.7e-5 max
+#   abs error — far below bf16 quantization (~4e-3).
+# - "selector": selector matmul + exact jnp.sin/cos (the r01 behavior).
+# - "recurrence": double-angle chain — 2 transcendentals per point but a
+#   9-deep serial chain on 3-of-128-lane [T,3] blocks; measured SLOWER
+#   (51.0 vs 48.3 ms/step) — this was the r01->r02 bench regression.
+# The f32 parity path always uses exact jnp.sin/cos.
+TRIG_MODE = _os.environ.get("NERF_TPU_TRIG", "poly")
 # bwd holds 8 trunk activations + weight-grad accumulators + weights (all
 # double-buffered by Mosaic) — beyond the default 16 MB scoped-vmem limit,
 # so raise it explicitly (v5e has headroom above the default).
@@ -197,19 +201,44 @@ _KP_ORDER = [
 ]
 
 
+def _poly_sincos(xb):
+    """sin(xb), cos(xb) via one shared range reduction + minimax polynomials.
+
+    r = xb - 2*pi*round(xb/2*pi) in [-pi, pi]; sin = r*P(r^2) (deg-9 odd),
+    cos = Q(r^2) (deg-10 even). Max abs error 1.7e-5 (sin) / 2.4e-6 (cos)
+    over the full reduced range, incl. the f32 reduction error at the posenc
+    arg scale (|xb| <= ~3100 for |x|<=6, F=10). ~6x faster than the XLA
+    sin+cos pair in-kernel on v5e (docs/PERF.md): one rounding + ~22 FMAs
+    instead of two full libm-style evaluations.
+    """
+    y = xb * 0.15915494309189535  # 1/(2*pi)
+    r = (y - jnp.round(y)) * 6.283185307179586
+    r2 = r * r
+    s = r * (0.9999845940079196 + r2 * (-0.16663259474612063 + r2 * (
+        0.008312388725549872 + r2 * (-0.00019316277202555934
+                                     + r2 * 2.1732608711915083e-06))))
+    c = 0.9999994437337446 + r2 * (-0.4999955824558693 + r2 * (
+        0.04166103368789301 + r2 * (-0.0013862750536381093 + r2 * (
+            2.4253237753182864e-05 + r2 * -2.2194166856720897e-07))))
+    return s, c
+
+
 def _trig_blocks(x, sel, num_freqs, dtype):
     """sin/cos of x*2^f for f=0..F-1, freq-major [T, 3F] f32 each.
 
-    bf16 mode uses the double-angle recurrence sin(2t)=2sc, cos(2t)=1-2s^2 —
-    2 transcendentals per point instead of 2F, with f32 error growing ~2x per
-    doubling: measured max abs error ~7e-4 at the top frequency (F=10) over
-    scene-scale coords |x|<=6, still well below bf16 quantization (~4e-3).
-    The f32 parity path keeps exact per-frequency trig (and its Sp/Sv
-    selector matmul) so reference-tolerance tests are unaffected.
+    bf16 mode picks the implementation from TRIG_MODE (see above); the
+    default "poly" path costs one selector matmul + one range reduction +
+    two polynomials, at 1.7e-5 max abs error — invisible under bf16
+    quantization. The f32 parity path keeps exact per-frequency trig so
+    reference-tolerance tests are unaffected. The recurrence variant's
+    error is ~7e-4 at F=10 over |x|<=6 (grows ~2x per doubling).
     """
     if dtype == jnp.float32 or num_freqs == 1 or TRIG_MODE == "selector":
         xb = _dot(x, sel)
         return jnp.sin(xb), jnp.cos(xb)
+    if TRIG_MODE == "poly":
+        xb = _dot(x, sel)
+        return _poly_sincos(xb)
     s = jnp.sin(x)
     c = jnp.cos(x)
     ss, cs = [s], [c]
@@ -393,7 +422,7 @@ def _accumulate_weight_grads(douts, accs):
             ref[...] = ref[...] + val
 
 
-def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
+def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr, input_grads=True):
     n_kp = len(_KP_ORDER)
 
     def kernel(*refs):
@@ -402,7 +431,6 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
         out_refs = refs[n_kp + 3 :]
         d_names = [n for n in _KP_ORDER if not n.startswith("S")]
         douts = {f"d{n}": r for n, r in zip(d_names, out_refs[: len(d_names)])}
-        dx_ref, dv_ref = out_refs[len(d_names)], out_refs[len(d_names) + 1]
 
         kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
         x = x_ref[...]
@@ -420,9 +448,12 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr):
         accs, dx, dv = _mlp_backward_math(
             kp, dtype, width, n_freq_p, n_freq_v, spr,
             e, sp, cp, ev, sv, cv, acts, h7, feat, hv, g,
+            want_input_grads=input_grads,
         )
-        dx_ref[...] = dx
-        dv_ref[...] = dv
+        if input_grads:
+            dx_ref, dv_ref = out_refs[len(d_names)], out_refs[len(d_names) + 1]
+            dx_ref[...] = dx
+            dv_ref[...] = dv
         _accumulate_weight_grads(douts, accs)
 
     return kernel
@@ -436,9 +467,16 @@ def _pad_rows(x, mult):
     return x
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fused_op(kp: Dict, x, v, dtype, width, n_freq_p, n_freq_v, spr):
-    """x: [R*spr, 3] points; v: [R, 3] per-ray dirs (spr=1 -> v per point)."""
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fused_op(kp: Dict, x, v, dtype, width, n_freq_p, n_freq_v, spr,
+              input_grads):
+    """x: [R*spr, 3] points; v: [R, 3] per-ray dirs (spr=1 -> v per point).
+
+    ``input_grads=False`` builds a backward kernel that skips the whole
+    d_e/dx/dv branch and returns zero cotangents for x and v — the training
+    path's case: rays are not differentiated and fine sample positions are
+    stop-gradded (ref run_nerf.py:394), so the input-grad matmuls + trig
+    grads are pure waste there (measured in docs/PERF.md)."""
     return _fused_fwd_impl(kp, x, v, dtype, width, spr)
 
 
@@ -483,11 +521,13 @@ def _fused_fwd_impl(kp, x, v, dtype, width, spr):
     return out[:n]
 
 
-def _fused_fwd_rule(kp, x, v, dtype, width, n_freq_p, n_freq_v, spr):
+def _fused_fwd_rule(kp, x, v, dtype, width, n_freq_p, n_freq_v, spr,
+                    input_grads):
     return _fused_fwd_impl(kp, x, v, dtype, width, spr), (kp, x, v)
 
 
-def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, res, g):
+def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, input_grads,
+                    res, g):
     kp, x, v = res
     n = x.shape[0]
     nv = v.shape[0]
@@ -509,17 +549,21 @@ def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, res, g):
         for n_ in d_names
     ]
     dkp_shapes = [jax.ShapeDtypeStruct(kp[n_].shape, jnp.float32) for n_ in d_names]
-
-    outs = pl.pallas_call(
-        _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr),
-        grid=(grid,),
-        in_specs=kp_specs + [tile_spec3, ray_spec3, tile_spec4],
-        out_specs=dkp_specs + [tile_spec3, ray_spec3],
-        out_shape=dkp_shapes
-        + [
+    out_specs = dkp_specs.copy()
+    out_shapes = dkp_shapes.copy()
+    if input_grads:
+        out_specs += [tile_spec3, ray_spec3]
+        out_shapes += [
             jax.ShapeDtypeStruct((xp.shape[0], 3), jnp.float32),
             jax.ShapeDtypeStruct((vp.shape[0], 3), jnp.float32),
-        ],
+        ]
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr, input_grads),
+        grid=(grid,),
+        in_specs=kp_specs + [tile_spec3, ray_spec3, tile_spec4],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_BWD_VMEM_BYTES),
         interpret=_interpret(),
     )(*_kp_list(kp), xp, vp, gp)
@@ -527,8 +571,12 @@ def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, res, g):
     dkp = {n_: g_.astype(kp[n_].dtype) for n_, g_ in zip(d_names, outs[: len(d_names)])}
     dkp["Sp"] = jnp.zeros_like(kp["Sp"])
     dkp["Sv"] = jnp.zeros_like(kp["Sv"])
-    dx = outs[len(d_names)][:n]
-    dv = outs[len(d_names) + 1][:nv]
+    if input_grads:
+        dx = outs[len(d_names)][:n]
+        dv = outs[len(d_names) + 1][:nv]
+    else:
+        dx = jnp.zeros((n, 3), jnp.float32)
+        dv = jnp.zeros((nv, 3), jnp.float32)
     return dkp, dx, dv
 
 
@@ -543,6 +591,7 @@ def fused_query(
     pts: jnp.ndarray,
     viewdirs: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
+    input_grads: bool = True,
 ) -> jnp.ndarray:
     """Drop-in replacement for the jnp query path: pts [R,S,3], viewdirs [R,3]
     -> raw [R,S,4].
@@ -552,6 +601,10 @@ def fused_query(
     and broadcasts in VMEM, instead of materializing the [R*S,3] broadcast in
     HBM (and its sum-transpose on the backward pass). Falls back to the dense
     per-point layout (spr=1) for sample counts Mosaic can't reshape on.
+
+    ``input_grads=False``: the backward kernel skips the d_e/dx/dv branch and
+    emits zero pts/viewdirs cotangents — use when pts/viewdirs are known
+    non-differentiated (the training loss; see render/renderer.py).
     """
     R, S, _ = pts.shape
     kp = pack_params(params, cfg, pe_pts, pe_views, compute_dtype)
@@ -562,6 +615,7 @@ def fused_query(
         v = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(R * S, 3)
         spr = 1
     out = _fused_op(
-        kp, x, v, compute_dtype, cfg.width, pe_pts.num_freqs, pe_views.num_freqs, spr
+        kp, x, v, compute_dtype, cfg.width, pe_pts.num_freqs,
+        pe_views.num_freqs, spr, bool(input_grads),
     )
     return out.reshape(R, S, 4)

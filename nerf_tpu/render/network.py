@@ -55,12 +55,16 @@ def query_raw(
     model: NeRFModel,
     pts: jnp.ndarray,
     viewdirs: Optional[jnp.ndarray],
+    input_grads: bool = True,
 ) -> jnp.ndarray:
     """Evaluate raw (r,g,b,sigma) at sampled points.
 
     Args:
         pts: [R, S, 3] sample positions.
         viewdirs: [R, 3] unit view directions (None when not use_viewdirs).
+        input_grads: False when the caller guarantees pts/viewdirs carry no
+            gradient (the renderer stop-grads them) — the fused backward
+            kernel then skips the whole input-grad branch.
 
     Returns: raw [R, S, 4] float32 (or [R, S, output_ch] without viewdirs).
     """
@@ -74,7 +78,7 @@ def query_raw(
         if fused_mlp.supports(mlp_cfg, model.pe_pts, model.pe_views):
             return fused_mlp.fused_query(
                 params, mlp_cfg, model.pe_pts, model.pe_views, pts, viewdirs,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, input_grads=input_grads,
             )
     x_emb = posenc(pts.reshape(R * S, 3), model.pe_pts)
     v_emb = None

@@ -114,8 +114,15 @@ def render_rays(
                 )
                 return None, out
 
+        # Rays and sample positions are never differentiated through the MLP:
+        # no param-gradient path crosses them (fine z is stop-gradded below,
+        # ref run_nerf.py:394, and rays are data). stop_gradient makes that a
+        # hard guarantee, and input_grads=False lets the fused backward
+        # kernel skip its whole input-grad branch (docs/PERF.md).
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
-        raw = query_raw(p_level, mlp_cfg, model, pts, viewdirs)
+        pts = jax.lax.stop_gradient(pts)
+        vd = None if viewdirs is None else jax.lax.stop_gradient(viewdirs)
+        raw = query_raw(p_level, mlp_cfg, model, pts, vd, input_grads=False)
         out = raw2outputs(
             raw,
             z,

@@ -112,7 +112,38 @@ def test_input_grads_match_jnp_f32():
 import pytest
 
 
-@pytest.mark.parametrize("trig_mode", ["recurrence", "selector"])
+def test_no_input_grads_param_grads_identical():
+    """input_grads=False must change NOTHING about parameter gradients —
+    it only skips the dx/dv branch (which returns zeros instead)."""
+    cfg, params = _setup(6)
+    pts, dirs = _inputs(8, R=2, S=64)
+    target = jnp.asarray(
+        np.random.default_rng(9).uniform(-1, 1, (2, 64, 4)).astype(np.float32)
+    )
+
+    def loss(p, ig):
+        out = fused_mlp.fused_query(p, cfg, PE_P, PE_V, pts, dirs,
+                                    compute_dtype=jnp.float32, input_grads=ig)
+        return jnp.mean((out - target) ** 2)
+
+    g_with = jax.grad(lambda p: loss(p, True))(params)
+    g_without = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_with), jax.tree.leaves(g_without)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the input cotangents really are hard zeros
+    gx, gd = jax.grad(
+        lambda p_, d_: jnp.sum(
+            fused_mlp.fused_query(params, cfg, PE_P, PE_V, p_, d_,
+                                  compute_dtype=jnp.float32,
+                                  input_grads=False) ** 2
+        ),
+        argnums=(0, 1),
+    )(pts, dirs)
+    assert not np.asarray(gx).any() and not np.asarray(gd).any()
+
+
+@pytest.mark.parametrize("trig_mode", ["poly", "recurrence", "selector"])
 def test_bf16_grads_close_to_jnp(trig_mode, monkeypatch):
     """Backward parity for the PRODUCTION (bf16) mode, in BOTH trig modes.
 
