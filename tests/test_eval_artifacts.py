@@ -77,3 +77,37 @@ def test_args_txt_snapshot(tmp_path):
     assert os.path.exists(args_txt)
     content = open(args_txt).read()
     assert "N_samples = 16" in content
+
+
+def test_frame_renderer_matches_render_image(tmp_path):
+    """The pipelined jitted frame program (make_frame_renderer) must produce
+    exactly what the eager per-frame render_image produces."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.models.factory import init_model_params
+    from nerf_tpu.render.renderer import make_frame_renderer, render_image
+
+    cfg = _cfg(tmp_path)
+    scene = make_scene(n_train=3, n_test=2, H=24, W=24)
+    model = make_model(cfg)
+    rs = render_settings_from_config(cfg).eval_mode()
+    params = init_model_params(jax.random.key(0), model)
+
+    fr = make_frame_renderer(
+        model, rs, scene.H, scene.W, scene.K, scene.near, scene.far, chunk=256
+    )
+    for i in range(2):
+        c2w = jnp.asarray(np.asarray(scene.poses[i])[:3, :4])
+        a = fr(params, c2w)
+        b = render_image(
+            params, model, rs, scene.H, scene.W, jnp.asarray(scene.K), c2w,
+            scene.near, scene.far, chunk=256,
+        )
+        # whole-frame jit fuses the preamble differently than the eager
+        # per-op path -> f32 reassociation noise (~3e-4); anything larger
+        # would indicate a real wiring difference
+        for k in ("rgb_map", "disp_map", "acc_map"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=2e-3, atol=2e-3
+            )
