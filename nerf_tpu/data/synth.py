@@ -39,7 +39,7 @@ class FieldParams:
 SIGMA_TAU = 3.0
 
 
-def make_field(seed: int = 0, n_prims: int = 48) -> FieldParams:
+def make_field(seed: int = 0, n_prims: int = 48, backdrop: bool = False) -> FieldParams:
     rng = np.random.default_rng(seed)
     # centers in a ball of radius 0.85: with scales <= 0.25 and the TAU
     # cutoff the object stays inside the ~1.4 half-extent the lego-fov
@@ -54,6 +54,30 @@ def make_field(seed: int = 0, n_prims: int = 48) -> FieldParams:
     # saturated base colors
     colors = rng.uniform(0.0, 1.0, (n_prims, 3))
     colors = 0.15 + 0.85 * colors / colors.max(axis=-1, keepdims=True)
+
+    if backdrop:
+        # A dense wall of flattened Gaussians at z = -1.45, wide enough to
+        # fill the forward-facing frustum. Why: the fern recipe composites
+        # empty space to BLACK (no white_bkgd, configs/fern.txt), so a scene
+        # whose GT is composited on white leaves ~60% of pixels physically
+        # unexplainable and BOTH this framework and the live reference
+        # collapse to a ~16.7 dB white-haze fit on it (measured,
+        # CONVERGENCE.md). A real forward-facing photo has content on every
+        # ray; the wall reproduces that property. Pastel per-tile albedo +
+        # the global texture term give the wall learnable structure.
+        gx, gy = np.meshgrid(np.arange(-4, 5) * 0.85, np.arange(-3, 4) * 0.8)
+        n_wall = gx.size
+        wall_centers = np.stack(
+            [gx.ravel(), gy.ravel(), np.full(n_wall, -1.45)], -1
+        )
+        wall_scales = np.tile(np.array([[0.55, 0.52, 0.06]]), (n_wall, 1))
+        wall_amps = np.full(n_wall, 300.0)
+        wall_colors = 0.72 + 0.26 * rng.uniform(0.0, 1.0, (n_wall, 3))
+        centers = np.concatenate([centers, wall_centers], 0)
+        scales = np.concatenate([scales, wall_scales], 0)
+        amps = np.concatenate([amps, wall_amps], 0)
+        colors = np.concatenate([colors, wall_colors], 0)
+
     return FieldParams(
         centers=centers.astype(np.float32),
         inv_scales=(1.0 / scales).astype(np.float32),
@@ -132,8 +156,11 @@ def _gt_chunk(centers, inv_scales, amps, colors, ro, rd):
 
 def render_gt_image(
     fp: FieldParams, H: int, W: int, focal: float, c2w: np.ndarray,
-    chunk: int = 65536,
+    chunk: int = 16384,
 ) -> np.ndarray:
+    # chunk=16384: the [chunk, n_samples, K] Gaussian evaluation must stay
+    # within what XLA can fuse/alloc — 65536 compiled at K=48 but fails at
+    # K=111 (backdrop field)
     """Render one [H, W, 3] ground-truth view (chunked jit, compiled once)."""
     from nerf_tpu.data.scene import default_intrinsics
     from nerf_tpu.geom.rays import get_rays_np

@@ -36,7 +36,9 @@ FOCAL = 3260.5 / 4
 def main():
     out = os.path.join("data", "nerf_llff_data", "synthff")
     os.makedirs(os.path.join(out, "images"), exist_ok=True)
-    fp = make_field(seed=0)
+    # backdrop: forward-facing capture needs content on EVERY ray (the fern
+    # recipe has no white_bkgd; see make_field docstring + CONVERGENCE.md)
+    fp = make_field(seed=0, backdrop=True)
     rng = np.random.default_rng(7)
 
     poses_bounds = np.zeros((N_VIEWS, 17))
