@@ -197,3 +197,42 @@ def test_deepvoxels_loader(tmp_path):
     assert scene.H == 512
     # hemisphere near/far: radius 2.5 -> (1.5, 3.5)
     assert abs(scene.near - 1.5) < 1e-5 and abs(scene.far - 3.5) < 1e-5
+
+
+def test_backdrop_field_covers_frustum():
+    """make_field(backdrop=True): every forward-facing ray must terminate on
+    content (the property whose absence collapsed the v1 synthff scene to a
+    16.7 dB white-haze fit — CONVERGENCE.md)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_tpu.data.synth import make_field, render_gt_rays
+
+    fp = make_field(seed=0, backdrop=True)
+    fp_plain = make_field(seed=0)
+    assert fp.centers.shape[0] > fp_plain.centers.shape[0]
+    # the blender benchmark field must be bit-stable under the new flag
+    np.testing.assert_array_equal(
+        fp.centers[: fp_plain.centers.shape[0]], fp_plain.centers
+    )
+
+    # rays across the frustum from a synthff-like camera: with the backdrop
+    # the accumulated opacity must be ~1 everywhere (content on every ray)
+    rng = np.random.default_rng(0)
+    n = 64
+    ro = np.tile(np.array([[0.0, 0.0, 4.0]], np.float32), (n, 1))
+    dirs = np.stack([
+        rng.uniform(-0.55, 0.55, n), rng.uniform(-0.42, 0.42, n),
+        -np.ones(n),
+    ], -1).astype(np.float32)
+    img = render_gt_rays(fp, jnp.asarray(ro), jnp.asarray(dirs),
+                         near=2.0, far=6.0, n_samples=256)
+    # render_gt_rays returns img + (1-acc); recompute acc via a black probe:
+    # a fully-covered frustum means the white-background term adds ~nothing,
+    # so rendering the same rays twice with/without content must differ from
+    # pure white
+    assert np.asarray(img).min() < 0.9  # textured wall, not white haze
+    # and the plain field leaves most rays empty by design
+    img_plain = render_gt_rays(fp_plain, jnp.asarray(ro), jnp.asarray(dirs),
+                               near=2.0, far=6.0, n_samples=256)
+    assert float(np.mean(np.all(np.asarray(img_plain) > 0.999, -1))) > 0.3
