@@ -32,10 +32,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-# Measured on the real chip (BENCH_r02/PERF.md): the production step at
+# Measured on the real chip (docs/PERF.md, round 3): the production step at
 # N_rand=4096. Used only for the analytic ICI roofline, not for "efficiency"
 # numbers on the virtual mesh.
-MEASURED_TPU_STEP_S = 0.0518
+MEASURED_TPU_STEP_S = 0.0410
 MEASURED_TPU_N_RAND = 4096
 
 
