@@ -237,6 +237,10 @@ def _trig_blocks(x, sel, num_freqs, dtype):
         xb = _dot(x, sel)
         return jnp.sin(xb), jnp.cos(xb)
     if TRIG_MODE == "poly":
+        # The selector matmul must stay f32-HIGHEST: xb = x*2^f needs exact
+        # phases (DEFAULT loses 2.0 rad at the top frequency, HIGH/bf16_3x
+        # 0.031 — measured on v5e; a VPU lane-concat construction is exact
+        # but slower than the 6-pass matmul, 41.0 vs 40.2 ms/step).
         xb = _dot(x, sel)
         return _poly_sincos(xb)
     s = jnp.sin(x)
