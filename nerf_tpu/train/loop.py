@@ -316,7 +316,10 @@ def train(
             )
             base = os.path.join(expdir, f"{cfg.expname}_spiral_{i:06d}_")
             save_video(base + "rgb.mp4", rgbs)
-            save_video(base + "disp.mp4", disps / np.max(disps))
+            # empty rays give disp = 1/max(1e-10, 0/0) = nan (reference-
+            # identical math, run_nerf.py:299); guard only the video scaling
+            disps = np.nan_to_num(disps, nan=0.0, posinf=0.0)
+            save_video(base + "disp.mp4", disps / max(np.max(disps), 1e-10))
         if cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0 and len(scene.i_test):
             testsavedir = os.path.join(expdir, f"testset_{i:06d}")
             os.makedirs(testsavedir, exist_ok=True)
