@@ -101,15 +101,18 @@ def main():
     if n_rand is None:
         raise SystemExit("bench: no configuration compiled")
 
-    for _ in range(3):  # warmup
+    # NOTE: on the remote-TPU (axon) platform block_until_ready can return
+    # before the async queue drains — a host VALUE fetch is the reliable
+    # fence (same convention as tools/bench_variants.py).
+    for _ in range(10):  # warmup / settle the dispatch queue
         state, aux = step(state, *batch, key)
-    jax.block_until_ready(state)
+    float(aux["loss"])
 
-    n_steps = 30
+    n_steps = 100
     t0 = time.time()
     for _ in range(n_steps):
         state, aux = step(state, *batch, key)
-    jax.block_until_ready(state)
+    float(aux["loss"])
     dt = time.time() - t0
 
     rays_per_sec = n_rand * n_steps / dt
