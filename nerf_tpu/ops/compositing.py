@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass
@@ -82,9 +83,103 @@ def raw2outputs(
         sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * raw_noise_std
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
-    weights = alpha * exclusive_cumprod(1.0 - alpha + 1e-10)
+    # maximum() is a numerical no-op (alpha <= 1) but blocks XLA from
+    # reassociating the adds into (1.0 + 1e-10) - alpha == 1.0 - alpha,
+    # which loses the 1e-10 floor where alpha == 1 (observed on TPU)
+    weights = alpha * exclusive_cumprod(
+        jnp.maximum(1.0 - alpha, 0.0) + 1e-10
+    )
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RayOutputs(rgb=rgb_map, disp=disp_map, acc=acc_map, weights=weights, depth=depth_map)
+
+
+def raw2outputs_planes(
+    raw4: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    raw_noise_std: float = 0.0,
+    white_bkgd: bool = False,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+    matmul_scan: bool = False,
+) -> RayOutputs:
+    """raw2outputs on channel-plane input: raw4 [4, N_rays, N_samples].
+
+    Identical semantics to ``raw2outputs`` (ref run_nerf.py:262-305) but each
+    channel is a full-lane [N_rays, N_samples] plane — the layout the fused
+    kernel's planes-IO mode emits (ops/fused_mlp.py fused_query_rays_planes).
+    Every op here (sigmoid, alpha, cumprod, the S-axis sums) runs on
+    [N_rays, N_samples] arrays with the sample axis in lanes, instead of
+    [.., 3]/[.., 4]-minor tensors that waste 125 of 128 lanes.
+
+    ``matmul_scan=True`` replaces the two lane-SHIFTED constructions — the
+    appended-1e10 ``diff(z)`` and the leading-1 exclusive cumprod — with
+    shift-free MXU matmuls against constant [S, S] banded/triangular
+    matrices: the shifted diff is exact (0/±1 coefficients), and the
+    exclusive cumprod becomes ``exp(log(1-alpha+1e-10) @ strict_tril)`` (the
+    same online-transmittance identity the fused render kernel uses,
+    ops/fused_render.py). On TPU every lane-offset slice/pad on a
+    [4096, 193] plane costs ~0.1 ms of vreg shuffles, and they appear in
+    forward AND backward of both levels (~2.7 ms/step measured, docs/PERF.md
+    round 4). The log/exp round trip perturbs weights at ~1e-6 relative —
+    invisible under bf16 compute (~4e-3) — so the bf16 training path enables
+    it and the f32 strict-parity path keeps the exact cumprod.
+    """
+    S = z_vals.shape[-1]
+    nrm = jnp.linalg.norm(rays_d, axis=-1)[..., None]
+    if matmul_scan:
+        # z_next[i] = z[i+1] (0 beyond) via a superdiagonal selector; the
+        # last lane is overwritten with the reference's 1e10 anyway.
+        shift = jnp.eye(S, S, k=-1, dtype=z_vals.dtype)  # M[j+1, j]=1 -> out[i]=z[i+1]
+        z_next = jnp.dot(
+            z_vals, shift, precision=jax.lax.Precision.HIGHEST
+        )
+        last = jnp.arange(S) == S - 1
+        dists = jnp.where(last, 1e10, z_next - z_vals) * nrm
+    else:
+        dists = z_vals[..., 1:] - z_vals[..., :-1]
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+        )
+        dists = dists * nrm
+
+    rgb = jax.nn.sigmoid(raw4[:3])  # [3, N_rays, N_samples]
+    sigma = raw4[3]
+    if noise is not None:
+        sigma = sigma + noise
+    elif raw_noise_std > 0.0:
+        if key is None:
+            raise ValueError("raw_noise_std>0 requires key or explicit noise")
+        sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * raw_noise_std
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    # maximum() blocks XLA's (1.0 + 1e-10) - alpha reassociation which would
+    # zero the 1e-10 floor at alpha == 1 — fatal for the log below
+    one_m_alpha = jnp.maximum(1.0 - alpha, 0.0) + 1e-10
+    if matmul_scan:
+        tril = jnp.asarray(
+            np.triu(np.ones((S, S), np.float32), k=1)
+        )  # M[j, i] = 1 iff j < i: column i sums lanes j < i -> exclusive
+        t_excl = jnp.exp(
+            jnp.dot(
+                jnp.log(one_m_alpha), tril,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        weights = alpha * t_excl
+    else:
+        weights = alpha * exclusive_cumprod(one_m_alpha)
+
+    rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T  # [N_rays, 3]
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
     disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)

@@ -282,6 +282,59 @@ def _per_ray_to_per_point(x_ray, spr):
     return jnp.broadcast_to(x_ray[:, None, :], (rv, spr, c)).reshape(rv * spr, c)
 
 
+def _lane_select_mask(rpt: int, spr: int) -> jnp.ndarray:
+    """E [rpt*spr, spr] f32 with E[(r,s), l] = 1 iff l == s.
+
+    Host-side constant for the in-kernel z relayout: the per-point depth
+    column is z_pt = sum(Zrep * E, axis=-1) where Zrep is the (supported)
+    per-ray broadcast of the [rpt, spr] z block. Mosaic rejects the direct
+    lane->sublane reshape (rpt, spr) -> (rpt*spr, 1), so the relayout is a
+    masked lane reduction instead (measured exact + cheap on v5e)."""
+    lane = np.arange(spr)[None, :]
+    row = (np.arange(rpt * spr) % spr)[:, None]
+    return jnp.asarray((lane == row).astype(np.float32))
+
+
+def _col_from_plane(plane, emask, spr):
+    """[rpt, spr] ray-plane -> [T, 1] per-point column (lane -> sublane).
+
+    Spread each ray row to its spr point rows (supported broadcast-reshape),
+    then select the diagonal lane per point via the E mask. Used for the z
+    relayout in raygen mode and the cotangent planes in planes-IO mode."""
+    rpt = plane.shape[0]
+    rep = jnp.broadcast_to(plane[:, None, :], (rpt, spr, spr)).reshape(
+        rpt * spr, spr
+    )
+    return jnp.sum(rep * emask, axis=-1, keepdims=True)
+
+
+def _plane_from_col(col, emask, spr):
+    """[T, 1] per-point column -> [rpt, spr] ray-plane (sublane -> lane).
+
+    Splat the column across lanes, mask to the diagonal, then segment-sum
+    each ray's spr point rows (the supported reshape+reduce pattern, same as
+    _per_point_to_per_ray). Pure VPU work that hides under the MXU."""
+    T = col.shape[0]
+    rpt = T // spr
+    masked = jnp.broadcast_to(col, (T, spr)) * emask
+    return jnp.sum(masked.reshape(rpt, spr, spr), axis=1)
+
+
+def _points_from_rays(ro_blk, rd_blk, z_blk, emask, spr):
+    """In-kernel raygen: x [T, 3] = rays_o + rays_d * z for the tile's points.
+
+    Replaces the reference's host-graph ``pts = o + d*z`` (run_nerf.py:381):
+    computed OUTSIDE the kernel, the [R*S, 3] points array occupies 3 of 128
+    lanes for every op that touches it (broadcast, multiply-add, pad copy) —
+    measured ~4 ms/step of pure layout waste on v5e. Here the same f32 madd
+    runs on VMEM-resident blocks and the points never exist in HBM.
+    Bit-identical to the outside computation (same f32 ops, same order)."""
+    z_pt = _col_from_plane(z_blk, emask, spr)  # [T, 1]
+    ro_pt = _per_ray_to_per_point(ro_blk, spr)
+    rd_pt = _per_ray_to_per_point(rd_blk, spr)
+    return ro_pt + rd_pt * z_pt
+
+
 def _per_point_to_per_ray(x_pt, spr):
     """[RV*spr, C] -> [RV, C] by summing each ray's spr sample rows."""
     if spr == 1:
@@ -329,6 +382,24 @@ def _fwd_kernel(dtype, width, spr, *refs):
     h, _ = _trunk_forward(e, kp, dtype)
     out, _, _ = _head_forward(h, ev, kp, dtype, width, spr)
     out_ref[...] = out
+
+
+def _fwd_kernel_rays(dtype, width, spr, planes_io, *refs):
+    *kp_refs, ro_ref, rd_ref, v_ref, z_ref, em_ref, out_ref = refs
+    kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
+    em = em_ref[...]
+    x = _points_from_rays(ro_ref[...], rd_ref[...], z_ref[...], em, spr)
+    e, _, _ = _embed_pts(x, kp, dtype)
+    ev, _, _ = _embed_views(v_ref[...], kp, dtype)
+    h, _ = _trunk_forward(e, kp, dtype)
+    out, _, _ = _head_forward(h, ev, kp, dtype, width, spr)
+    if planes_io:
+        # emit (r,g,b,sigma) as four [rpt, spr] ray-planes so everything
+        # outside the kernel works on full-lane [R, S] arrays
+        for c in range(4):
+            out_ref[c] = _plane_from_col(out[:, c : c + 1], em, spr)
+    else:
+        out_ref[...] = out
 
 
 def _mlp_backward_math(
@@ -463,6 +534,48 @@ def _make_bwd_kernel(dtype, width, n_freq_p, n_freq_v, spr, input_grads=True):
     return kernel
 
 
+def _make_bwd_kernel_rays(dtype, width, n_freq_p, n_freq_v, spr, planes_io):
+    """Backward for raygen mode: recomputes x from (rays_o, rays_d, z) in-VMEM
+    (same relayout as the forward) and emits weight grads only — rays and
+    sample depths are never differentiated in the training graph (rays are
+    data; fine z is stop-gradded, ref run_nerf.py:394). With ``planes_io``
+    the cotangent arrives as four [rpt, spr] ray-planes and is merged to the
+    per-point [T, 4] layout in-VMEM."""
+    n_kp = len(_KP_ORDER)
+
+    def kernel(*refs):
+        kp_refs = refs[:n_kp]
+        ro_ref, rd_ref, v_ref, z_ref, em_ref, g_ref = refs[n_kp : n_kp + 6]
+        out_refs = refs[n_kp + 6 :]
+        d_names = [n for n in _KP_ORDER if not n.startswith("S")]
+        douts = {f"d{n}": r for n, r in zip(d_names, out_refs)}
+
+        kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
+        em = em_ref[...]
+        x = _points_from_rays(ro_ref[...], rd_ref[...], z_ref[...], em, spr)
+        if planes_io:
+            g = jnp.concatenate(
+                [_col_from_plane(g_ref[c], em, spr) for c in range(4)], axis=-1
+            )
+        else:
+            g = g_ref[...]
+
+        e, sp, cp = _embed_pts(x, kp, dtype)
+        ev, sv, cv = _embed_views(v_ref[...], kp, dtype)
+        h7, acts = _trunk_forward(e, kp, dtype, keep_acts=True)
+        acts = acts[:-1]
+        _, feat, hv = _head_forward(h7, ev, kp, dtype, width, spr)
+
+        accs, _, _ = _mlp_backward_math(
+            kp, dtype, width, n_freq_p, n_freq_v, spr,
+            e, sp, cp, ev, sv, cv, acts, h7, feat, hv, g,
+            want_input_grads=False,
+        )
+        _accumulate_weight_grads(douts, accs)
+
+    return kernel
+
+
 def _pad_rows(x, mult):
     n = x.shape[0]
     pad = (-n) % mult
@@ -585,6 +698,195 @@ def _fused_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, input_grads,
 
 
 _fused_op.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_op_rays(kp: Dict, ro, rd, v, z, dtype, width, n_freq_p, n_freq_v,
+                   spr, planes_io):
+    """Raygen-mode op: rays_o/rays_d/viewdirs [R, 3] + z [R, spr] in, raw
+    [R*spr, 4] (or [4, R, spr] ray-planes when ``planes_io``) out. Points are
+    generated inside the kernel (see _points_from_rays); the backward emits
+    weight grads only and zero cotangents for rays/z (the training graph
+    never differentiates them)."""
+    return _fused_rays_fwd_impl(kp, ro, rd, v, z, dtype, width, spr, planes_io)
+
+
+def _rays_specs(rpt, spr, tile):
+    kp_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _KP_ORDER]
+    ray_spec3 = pl.BlockSpec((rpt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((rpt, spr), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    em_spec = pl.BlockSpec(
+        (tile, spr), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return kp_specs + [ray_spec3, ray_spec3, ray_spec3, z_spec, em_spec]
+
+
+def _fused_rays_fwd_impl(kp, ro, rd, v, z, dtype, width, spr, planes_io):
+    n_rays = ro.shape[0]
+    rpt, tile = _tile_geometry(FWD_TILE, spr)
+    rop = _pad_rows(ro, rpt)
+    rdp = _pad_rows(rd, rpt)
+    vp = _pad_rows(v, rpt)
+    zp = _pad_rows(z, rpt)
+    grid = rop.shape[0] // rpt
+    em = _lane_select_mask(rpt, spr)
+
+    if planes_io:
+        out_spec = pl.BlockSpec(
+            (4, rpt, spr), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((4, rop.shape[0], spr), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((rop.shape[0] * spr, 4), jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_fwd_kernel_rays, dtype, width, spr, planes_io),
+        grid=(grid,),
+        in_specs=_rays_specs(rpt, spr, tile),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FWD_VMEM_BYTES),
+        interpret=_interpret(),
+    )(*_kp_list(kp), rop, rdp, vp, zp, em)
+    if planes_io:
+        return out[:, :n_rays] if rop.shape[0] != n_rays else out
+    return out[: n_rays * spr] if rop.shape[0] != n_rays else out
+
+
+def _fused_rays_fwd_rule(kp, ro, rd, v, z, dtype, width, n_freq_p, n_freq_v,
+                         spr, planes_io):
+    return (
+        _fused_rays_fwd_impl(kp, ro, rd, v, z, dtype, width, spr, planes_io),
+        (kp, ro, rd, v, z),
+    )
+
+
+def _fused_rays_bwd_rule(dtype, width, n_freq_p, n_freq_v, spr, planes_io,
+                         res, g):
+    kp, ro, rd, v, z = res
+    rpt, tile = _tile_geometry(BWD_TILE, spr)
+    rop = _pad_rows(ro, rpt)
+    rdp = _pad_rows(rd, rpt)
+    vp = _pad_rows(v, rpt)
+    zp = _pad_rows(z, rpt)
+    grid = rop.shape[0] // rpt
+    em = _lane_select_mask(rpt, spr)
+
+    if planes_io:
+        # zero cotangent in ray padding -> no grad pollution
+        pad = rop.shape[0] - ro.shape[0]
+        gp = (
+            jnp.concatenate(
+                [g, jnp.zeros((4, pad, spr), g.dtype)], axis=1
+            )
+            if pad
+            else g
+        )
+        g_spec = pl.BlockSpec(
+            (4, rpt, spr), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        gp = _pad_rows(g, tile)
+        g_spec = pl.BlockSpec(
+            (tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    d_names = [n_ for n_ in _KP_ORDER if not n_.startswith("S")]
+    dkp_specs = [
+        pl.BlockSpec(kp[n_].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for n_ in d_names
+    ]
+    dkp_shapes = [jax.ShapeDtypeStruct(kp[n_].shape, jnp.float32) for n_ in d_names]
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel_rays(dtype, width, n_freq_p, n_freq_v, spr, planes_io),
+        grid=(grid,),
+        in_specs=_rays_specs(rpt, spr, tile) + [g_spec],
+        out_specs=dkp_specs,
+        out_shape=dkp_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_BWD_VMEM_BYTES),
+        interpret=_interpret(),
+    )(*_kp_list(kp), rop, rdp, vp, zp, em, gp)
+
+    dkp = {n_: g_.astype(kp[n_].dtype) for n_, g_ in zip(d_names, outs)}
+    dkp["Sp"] = jnp.zeros_like(kp["Sp"])
+    dkp["Sv"] = jnp.zeros_like(kp["Sv"])
+    return (
+        dkp,
+        jnp.zeros_like(ro),
+        jnp.zeros_like(rd),
+        jnp.zeros_like(v),
+        jnp.zeros_like(z),
+    )
+
+
+_fused_op_rays.defvjp(_fused_rays_fwd_rule, _fused_rays_bwd_rule)
+
+
+def fused_query_rays(
+    params: Dict,
+    cfg: MLPConfig,
+    pe_pts: PosEncConfig,
+    pe_views: PosEncConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Raygen-mode query: rays + sample depths in, raw [R, S, 4] out.
+
+    Equivalent to ``pts = rays_o[:,None] + rays_d[:,None]*z[...,None]`` (ref
+    run_nerf.py:381) followed by ``fused_query(pts, viewdirs)`` — but the
+    [R*S, 3] points tensor is generated inside the kernel and never touches
+    HBM. Outside the kernel every op on that tensor uses 3 of 128 lanes;
+    measured ~4 ms/step of broadcast/madd/pad-copy waste on the flagship
+    shape (docs/PERF.md round 4).
+
+    Training-path only: the VJP emits zero cotangents for rays/viewdirs/z
+    (callers stop-gradient them anyway, matching ref run_nerf.py:394).
+    Requires S % 8 == 0 (ray-major tiling); callers fall back to
+    ``fused_query`` otherwise.
+    """
+    R, S = z_vals.shape
+    kp = pack_params(params, cfg, pe_pts, pe_views, compute_dtype)
+    out = _fused_op_rays(
+        kp, rays_o, rays_d, viewdirs, z_vals, compute_dtype, cfg.width,
+        pe_pts.num_freqs, pe_views.num_freqs, S, False,
+    )
+    return out.reshape(R, S, 4)
+
+
+def fused_query_rays_planes(
+    params: Dict,
+    cfg: MLPConfig,
+    pe_pts: PosEncConfig,
+    pe_views: PosEncConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Raygen + planes-IO query: rays + depths in, raw planes [4, R, S] out.
+
+    Same numerics as ``fused_query_rays`` but the (r,g,b,sigma) channels come
+    out as four full-lane [R, S] planes (and the backward takes the cotangent
+    in the same layout). The per-point [R*S, 4] tensor — whose 4-of-128-lane
+    layout forces XLA relayout copies at both the forward and backward kernel
+    boundaries (~1.5 ms/step measured on the flagship shape) — never exists
+    in HBM; the in-kernel relayout is VPU work hidden under the MXU.
+    Consumers use ops/compositing.py raw2outputs_planes.
+    """
+    R, S = z_vals.shape
+    kp = pack_params(params, cfg, pe_pts, pe_views, compute_dtype)
+    return _fused_op_rays(
+        kp, rays_o, rays_d, viewdirs, z_vals, compute_dtype, cfg.width,
+        pe_pts.num_freqs, pe_views.num_freqs, S, True,
+    )
 
 
 def fused_query(

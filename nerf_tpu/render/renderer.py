@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from nerf_tpu.geom.rays import get_rays, ndc_rays
-from nerf_tpu.ops.compositing import raw2outputs
+from nerf_tpu.ops.compositing import raw2outputs, raw2outputs_planes
 from nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
 from nerf_tpu.render.network import NeRFModel, query_raw
 
@@ -119,6 +119,45 @@ def render_rays(
         # ref run_nerf.py:394, and rays are data). stop_gradient makes that a
         # hard guarantee, and input_grads=False lets the fused backward
         # kernel skip its whole input-grad branch (docs/PERF.md).
+        if model.fused and viewdirs is not None:
+            from nerf_tpu.ops import fused_mlp  # lazy: pallas import
+
+            if (
+                fused_mlp.supports(mlp_cfg, model.pe_pts, model.pe_views)
+                and z.shape[-1] % 8 == 0
+                and z.shape[-1] > 1
+            ):
+                # raygen + planes-IO mode: pts = o + d*z is computed INSIDE
+                # the kernel (identical f32 madd) and raw comes out as four
+                # full-lane [R, S] channel planes — neither the [R*S, 3]
+                # points tensor nor the [R*S, 4] raw tensor exists in HBM
+                # (docs/PERF.md round 4: ~5.5 ms/step of 3/4-of-128-lane
+                # broadcast/madd/relayout traffic eliminated).
+                compute_dtype = (
+                    jnp.bfloat16 if model.compute_dtype == "bfloat16"
+                    else jnp.float32
+                )
+                sg = jax.lax.stop_gradient
+                raw4 = fused_mlp.fused_query_rays_planes(
+                    p_level, mlp_cfg, model.pe_pts, model.pe_views,
+                    sg(rays_o), sg(rays_d), sg(viewdirs), sg(z),
+                    compute_dtype=compute_dtype,
+                )
+                out = raw2outputs_planes(
+                    raw4,
+                    z,
+                    rays_d,
+                    raw_noise_std=rs.raw_noise_std,
+                    white_bkgd=rs.white_bkgd,
+                    key=noise_key,
+                    noise=noise_override,
+                    # shift-free MXU scan on the bf16 path (~1e-6 rel on
+                    # weights, invisible under bf16); exact cumprod in f32
+                    matmul_scan=(model.compute_dtype == "bfloat16"),
+                )
+                raw = jnp.moveaxis(raw4, 0, -1) if rs.retraw else None
+                return raw, out
+
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
         pts = jax.lax.stop_gradient(pts)
         vd = None if viewdirs is None else jax.lax.stop_gradient(viewdirs)

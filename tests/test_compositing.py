@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import torch
 
-from nerf_tpu.ops.compositing import raw2outputs
+from nerf_tpu.ops.compositing import raw2outputs, raw2outputs_planes
 
 
 def _random_inputs(seed, n_rays=32, n_samples=64):
@@ -94,3 +94,69 @@ def test_opaque_ray_terminates():
     assert w[4] > 0.99
     assert np.all(w[5:] < 1e-6)
     assert abs(float(out.depth[0]) - z_vals[0, 4]) < 1e-3
+
+
+def _rand_planes(seed, R=32, S=48):
+    rng = np.random.default_rng(seed)
+    raw4 = jnp.asarray(rng.standard_normal((4, R, S)).astype(np.float32))
+    z = jnp.sort(jnp.asarray(rng.uniform(2, 6, (R, S)).astype(np.float32)), -1)
+    rd = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((R, S)).astype(np.float32) * 0.4)
+    return raw4, z, rd, noise
+
+
+def test_planes_matches_raw2outputs():
+    """raw2outputs_planes (exact mode) == raw2outputs on the transposed raw
+    at f32 roundoff (the per-channel sums reduce in a different order)."""
+    raw4, z, rd, noise = _rand_planes(0)
+    a = raw2outputs_planes(raw4, z, rd, white_bkgd=True, noise=noise)
+    b = raw2outputs(jnp.moveaxis(raw4, 0, -1), z, rd, white_bkgd=True,
+                    noise=noise)
+    for k in ("rgb", "disp", "acc", "weights", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, k)), np.asarray(getattr(b, k)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_planes_matmul_scan_close():
+    """The shift-free MXU scan (exp(log @ tril), bf16-path only) perturbs
+    weights at ~1e-4 absolute — far below bf16 quantization — and its
+    gradient matches the exact cumprod formulation to the same order."""
+    raw4, z, rd, noise = _rand_planes(1)
+
+    def run(ms):
+        def loss(r4):
+            o = raw2outputs_planes(r4, z, rd, white_bkgd=True, noise=noise,
+                                   matmul_scan=ms)
+            return o.rgb.sum() + o.acc.sum() + o.disp.sum(), o
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(raw4)
+        return o, g
+
+    o1, g1 = run(False)
+    o2, g2 = run(True)
+    for k in ("rgb", "disp", "acc", "weights", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(o1, k)), np.asarray(getattr(o2, k)),
+            rtol=2e-3, atol=1e-3,
+        )
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_opaque_ray_planes_no_nan():
+    """alpha == 1 rays must stay finite in BOTH scan modes (regression: XLA
+    reassociated (1 - alpha) + 1e-10 to (1 + 1e-10) - alpha, zeroing the
+    floor and sending log(0) = -inf through the matmul scan on TPU)."""
+    n = 16
+    raw4 = np.zeros((4, 1, n), np.float32)
+    raw4[3, 0, 4] = 1e4
+    raw4[:3] = 5.0
+    z = jnp.asarray(np.linspace(2.0, 6.0, n, dtype=np.float32)[None])
+    rd = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    for ms in (False, True):
+        o = raw2outputs_planes(jnp.asarray(raw4), z, rd, matmul_scan=ms)
+        for k in ("rgb", "acc", "weights", "depth"):
+            assert bool(jnp.all(jnp.isfinite(getattr(o, k)))), (ms, k)
+        w = np.asarray(o.weights)[0]
+        assert w[4] > 0.99 and np.all(w[5:] < 1e-6)

@@ -192,3 +192,66 @@ def test_bf16_forward_close_to_f32():
                                  compute_dtype=jnp.bfloat16)
     assert bf16.dtype == jnp.float32
     assert float(jnp.max(jnp.abs(f32 - bf16))) < 0.25
+
+
+def test_raygen_matches_pts_path():
+    """fused_query_rays ~= fused_query(o + d*z): the in-kernel raygen madd
+    (ops/fused_mlp.py _points_from_rays) is the same f32 computation, but
+    the compiler may fuse o + d*z into an fma on one side only; a 1-ulp
+    difference in x becomes ~x*2^9*eps ~ 2e-4 phase at the top posenc
+    frequency, so parity is allclose, not bitwise."""
+    cfg, params = _setup(6)
+    rng = np.random.default_rng(6)
+    R, S = 13, 16  # R not a multiple of 8: exercises ray padding
+    ro = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32) * 0.1)
+    rd = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jnp.asarray(rng.uniform(2, 6, (R, S)).astype(np.float32)), -1)
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    for dt, atol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)):
+        ref = fused_mlp.fused_query(params, cfg, PE_P, PE_V, pts, vd,
+                                    compute_dtype=dt, input_grads=False)
+        out = fused_mlp.fused_query_rays(params, cfg, PE_P, PE_V,
+                                         ro, rd, vd, z, compute_dtype=dt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=atol)
+
+
+def test_raygen_planes_matches_rays_path_with_grads():
+    """planes-IO mode vs per-point raygen mode: identical in-kernel math —
+    the [4, R, S] output is exactly the transposed [R, S, 4] raw, and the
+    backward (cotangent planes -> in-kernel merge) produces bit-identical
+    param grads."""
+    cfg, params = _setup(7)
+    rng = np.random.default_rng(7)
+    R, S = 8, 24
+    ro = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32) * 0.1)
+    rd = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jnp.asarray(rng.uniform(2, 6, (R, S)).astype(np.float32)), -1)
+
+    raw4 = fused_mlp.fused_query_rays_planes(params, cfg, PE_P, PE_V,
+                                             ro, rd, vd, z,
+                                             compute_dtype=jnp.float32)
+    ref = fused_mlp.fused_query_rays(params, cfg, PE_P, PE_V, ro, rd, vd, z,
+                                     compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(raw4, 0, -1)), np.asarray(ref)
+    )
+
+    tgt = jnp.asarray(rng.uniform(0, 1, (4, R, S)).astype(np.float32))
+
+    def loss_planes(p):
+        r = fused_mlp.fused_query_rays_planes(p, cfg, PE_P, PE_V, ro, rd, vd,
+                                              z, compute_dtype=jnp.float32)
+        return jnp.mean((r - tgt) ** 2)
+
+    def loss_rays(p):
+        r = fused_mlp.fused_query_rays(p, cfg, PE_P, PE_V, ro, rd, vd, z,
+                                       compute_dtype=jnp.float32)
+        return jnp.mean((r - jnp.moveaxis(tgt, 0, -1)) ** 2)
+
+    g_a = jax.grad(loss_planes)(params)
+    g_b = jax.grad(loss_rays)(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
