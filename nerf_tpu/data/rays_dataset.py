@@ -57,33 +57,52 @@ class BatchedRaySampler:
     ``sharding`` (a NamedSharding over the mesh's 'data' axis) makes the
     jitted gather emit each batch already sharded for the DP train step — the
     buffer is replicated across the mesh and every device gathers its own
-    ray shard; no host round-trip, no post-hoc resharding copy. Host-side
-    control flow (key splits, i_batch) is identical on every process, so the
-    same code is multi-host correct: the buffer/perm become global replicated
-    arrays and each host's devices materialize only their shard.
+    ray shard; no host round-trip, no post-hoc resharding copy.
+
+    Multi-process (``jax.process_count() > 1``): ``jax.device_put`` to a
+    sharding spanning non-addressable devices is invalid, so the per-host
+    feed design (SURVEY.md §5) takes over — every host keeps the (small,
+    <1 GB) buffer and the epoch permutation in host memory, gathers ONLY its
+    ``host_shard_slice`` of each N_rand window, and the shards assemble into
+    one global ['data'-sharded] batch via
+    ``jax.make_array_from_process_local_data``
+    (parallel/distributed.py global_batch_from_host_shards). Key splits and
+    i_batch bookkeeping are identical on every process (same seed), so the
+    GLOBAL batch sequence is identical to the single-process sampler's.
     """
 
     def __init__(self, scene: Scene, n_rand: int, key: jax.Array, sharding=None):
         self.n_rand = n_rand
-        self.buffer = jnp.asarray(build_ray_buffer(scene))
-        if sharding is not None:
-            rep = jax.sharding.NamedSharding(
-                sharding.mesh, jax.sharding.PartitionSpec()
-            )
-            self.buffer = jax.device_put(self.buffer, rep)
-        self.n_total = self.buffer.shape[0]
+        buf = build_ray_buffer(scene)
+        self.n_total = buf.shape[0]
         self.key = key
         self.perm = None
         self.i_batch = 0
-        out_sh = None if sharding is None else (sharding, sharding, sharding)
-        self._gather = jax.jit(
-            _gather_window, static_argnums=(3,), out_shardings=out_sh
-        )
+        self._multiproc = sharding is not None and jax.process_count() > 1
+        if self._multiproc:
+            from nerf_tpu.parallel.distributed import host_shard_slice
+
+            self.buffer = buf  # host-resident numpy
+            self._mesh = sharding.mesh
+            self._host_sl = host_shard_slice(n_rand)
+        else:
+            self.buffer = jnp.asarray(buf)
+            if sharding is not None:
+                rep = jax.sharding.NamedSharding(
+                    sharding.mesh, jax.sharding.PartitionSpec()
+                )
+                self.buffer = jax.device_put(self.buffer, rep)
+            out_sh = None if sharding is None else (sharding, sharding, sharding)
+            self._gather = jax.jit(
+                _gather_window, static_argnums=(3,), out_shardings=out_sh
+            )
         self._reshuffle()
 
     def _reshuffle(self):
         self.key, sub = jax.random.split(self.key)
         self.perm = jax.random.permutation(sub, self.n_total)
+        if self._multiproc:
+            self.perm = np.asarray(self.perm)
         self.i_batch = 0
 
     def next_batch(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -95,10 +114,21 @@ class BatchedRaySampler:
             # epoch either way.
             tail = self.perm[self.i_batch :]
             self._reshuffle()
-            self.perm = jnp.concatenate([tail, self.perm])
-        ro, rd, rgb = self._gather(
-            self.buffer, self.perm, self.i_batch, self.n_rand
-        )
+            cat = np.concatenate if self._multiproc else jnp.concatenate
+            self.perm = cat([tail, self.perm])
+        if self._multiproc:
+            from nerf_tpu.parallel.distributed import global_batch_from_host_shards
+
+            sl = self._host_sl
+            idx = self.perm[self.i_batch + sl.start : self.i_batch + sl.stop]
+            batch = self.buffer[idx]  # this host's [n_rand/n_hosts, 3, 3]
+            ro, rd, rgb = global_batch_from_host_shards(
+                self._mesh, (batch[:, 0], batch[:, 1], batch[:, 2])
+            )
+        else:
+            ro, rd, rgb = self._gather(
+                self.buffer, self.perm, self.i_batch, self.n_rand
+            )
         self.i_batch += self.n_rand
         return ro, rd, rgb
 
@@ -130,7 +160,14 @@ def _sample_image_rays(
 
 
 class ImageRaySampler:
-    """Policy (b): per-step single-image pixel sampling with precrop."""
+    """Policy (b): per-step single-image pixel sampling with precrop.
+
+    Multi-process: every host runs the (tiny: one image's rays + N_rand
+    gathers) sampling program on its own devices with the same key — the
+    draws are identical everywhere — then contributes only its
+    ``host_shard_slice`` of the result to the global 'data'-sharded batch
+    (jax.make_array_from_process_local_data). Costs one small device->host
+    fetch per step; the global batch matches the single-process sampler's."""
 
     def __init__(
         self,
@@ -148,7 +185,13 @@ class ImageRaySampler:
         self.poses = jnp.asarray(scene.poses)
         self.i_train = jnp.asarray(scene.i_train)
         self.K = jnp.asarray(scene.K)
-        if sharding is not None:
+        self._multiproc = sharding is not None and jax.process_count() > 1
+        if self._multiproc:
+            from nerf_tpu.parallel.distributed import host_shard_slice
+
+            self._mesh = sharding.mesh
+            self._host_sl = host_shard_slice(n_rand)
+        elif sharding is not None:
             rep = jax.sharding.NamedSharding(
                 sharding.mesh, jax.sharding.PartitionSpec()
             )
@@ -162,7 +205,11 @@ class ImageRaySampler:
         # crop bounds per ref run_nerf.py:738-745: rows in [H//2-dH, H//2+dH)
         self._crop = (self.H // 2 - dH, self.W // 2 - dW, 2 * dH, 2 * dW)
         self._full = (0, 0, self.H, self.W)
-        out_sh = None if sharding is None else (sharding, sharding, sharding)
+        out_sh = (
+            None
+            if (sharding is None or self._multiproc)
+            else (sharding, sharding, sharding)
+        )
         self._fn = jax.jit(
             _sample_image_rays, static_argnums=(4, 5, 6, 7), out_shardings=out_sh
         )
@@ -170,10 +217,18 @@ class ImageRaySampler:
     def next_batch(self, step: int):
         self.key, sub = jax.random.split(self.key)
         crop = self._crop if step < self.precrop_iters else self._full
-        return self._fn(
+        out = self._fn(
             self.images, self.poses, self.i_train, self.K,
             self.H, self.W, self.n_rand, crop, sub,
         )
+        if self._multiproc:
+            from nerf_tpu.parallel.distributed import global_batch_from_host_shards
+
+            sl = self._host_sl
+            return global_batch_from_host_shards(
+                self._mesh, tuple(np.asarray(a)[sl] for a in out)
+            )
+        return out
 
 
 def make_sampler(scene: Scene, cfg, key: jax.Array, sharding=None):

@@ -147,13 +147,19 @@ def train(
     if scene is None:
         scene = load_scene(cfg)
 
+    # multi-process: every host runs this same driver; host-side artifacts
+    # (args.txt, prints, eval renders, PNGs/videos) come from process 0 only,
+    # while collective operations (train step, checkpoint save) run on all
+    is_main = jax.process_index() == 0
+
     expdir = os.path.join(cfg.basedir, cfg.expname)
-    os.makedirs(expdir, exist_ok=True)
-    with open(os.path.join(expdir, "args.txt"), "w") as f:
-        f.write(dump_config(cfg))
-    if cfg.config is not None and os.path.exists(cfg.config):
-        with open(os.path.join(expdir, "config.txt"), "w") as f:
-            f.write(open(cfg.config).read())
+    if is_main:
+        os.makedirs(expdir, exist_ok=True)
+        with open(os.path.join(expdir, "args.txt"), "w") as f:
+            f.write(dump_config(cfg))
+        if cfg.config is not None and os.path.exists(cfg.config):
+            with open(os.path.join(expdir, "config.txt"), "w") as f:
+                f.write(open(cfg.config).read())
 
     model = make_model(cfg)
     rs = render_settings_from_config(cfg)
@@ -204,7 +210,8 @@ def train(
             mesh, model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
             hwf=(scene.H, scene.W, scene.focal),
         )(state)
-        print(f"[MESH] data-parallel over {n_data} devices: {mesh}")
+        if is_main:
+            print(f"[MESH] data-parallel over {n_data} devices: {mesh}")
     else:
         step_fn = make_train_step(
             model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
@@ -215,11 +222,28 @@ def train(
 
     # scene near/far; NDC marches in [0,1] (ref run_nerf.py:564-566)
     near, far = (0.0, 1.0) if rs.ndc else (scene.near, scene.far)
-    near_v = jnp.full((cfg.N_rand,), near, jnp.float32)
-    far_v = jnp.full((cfg.N_rand,), far, jnp.float32)
-    if batch_sh is not None:
-        near_v = jax.device_put(near_v, batch_sh)
-        far_v = jax.device_put(far_v, batch_sh)
+    if batch_sh is not None and jax.process_count() > 1:
+        # the mesh spans non-addressable devices: assemble the (constant)
+        # per-ray bounds from per-host shards like every other batch array
+        from nerf_tpu.parallel.distributed import (
+            global_batch_from_host_shards, host_shard_slice,
+        )
+
+        n_host = host_shard_slice(cfg.N_rand)
+        n_host = n_host.stop - n_host.start
+        near_v, far_v = global_batch_from_host_shards(
+            mesh,
+            (
+                np.full((n_host,), near, np.float32),
+                np.full((n_host,), far, np.float32),
+            ),
+        )
+    else:
+        near_v = jnp.full((cfg.N_rand,), near, jnp.float32)
+        far_v = jnp.full((cfg.N_rand,), far, jnp.float32)
+        if batch_sh is not None:
+            near_v = jax.device_put(near_v, batch_sh)
+            far_v = jax.device_put(far_v, batch_sh)
 
     try:
         from tqdm import trange
@@ -288,13 +312,14 @@ def train(
             loss = float(aux["loss"])
             psnr = float(aux["psnr"])
             rep = timer.report()
-            print(
-                f"[TRAIN] Iter: {i} Loss: {loss:.6f}  PSNR: {psnr:.3f}  "
-                f"({rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU)"
-            )
+            if is_main:
+                print(
+                    f"[TRAIN] Iter: {i} Loss: {loss:.6f}  PSNR: {psnr:.3f}  "
+                    f"({rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU)"
+                )
             history.append((i, loss, psnr))
             timer.start()
-        if cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
+        if is_main and cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
             # holdout-view PSNR (the reference's i_img logging is dead code,
             # run_nerf.py:842-861; here it's live): render one val view
             img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
@@ -307,9 +332,11 @@ def train(
             )
             print(f"[EVAL] Iter: {i} holdout view {img_i} PSNR: {holdout_psnr:.3f}")
         if cfg.i_weights > 0 and i % cfg.i_weights == 0:
+            # collective: ALL processes must call (orbax multihost save)
             path = ckpt_lib.save_checkpoint(cfg.basedir, cfg.expname, state)
-            print("Saved checkpoints at", path)
-        if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
+            if is_main:
+                print("Saved checkpoints at", path)
+        if is_main and cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
             rgbs, disps = render_path(
                 eval_params(state), model, rs, scene, scene.render_poses,
                 cfg.chunk, render_frame=frame_renderer(),
@@ -320,7 +347,7 @@ def train(
             # identical math, run_nerf.py:299); guard only the video scaling
             disps = np.nan_to_num(disps, nan=0.0, posinf=0.0)
             save_video(base + "disp.mp4", disps / max(np.max(disps), 1e-10))
-        if cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0 and len(scene.i_test):
+        if is_main and cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0 and len(scene.i_test):
             testsavedir = os.path.join(expdir, f"testset_{i:06d}")
             os.makedirs(testsavedir, exist_ok=True)
             render_path(
