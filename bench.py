@@ -113,6 +113,9 @@ def main():
     for _ in range(n_steps):
         state, aux = step(state, *batch, key)
     float(aux["loss"])
+    # the loss fetch fences through the last step's forward only; the final
+    # Adam update can still be in flight — close the window on the full step
+    jax.block_until_ready(state)
     dt = time.time() - t0
 
     rays_per_sec = n_rand * n_steps / dt
@@ -134,6 +137,12 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+                # honesty: the benched step includes fold_in + the pre-drawn
+                # RNG streams (draw_overrides) but reuses one synthetic batch,
+                # so the per-step sampler gather is excluded. The end-to-end
+                # number including the sampler is the convergence-run
+                # steady state (CONVERGENCE.md).
+                "excludes": "per-step ray sampling (constant synthetic batch)",
             }
         ),
         flush=True,

@@ -204,15 +204,23 @@ _KP_ORDER = [
 def _poly_sincos(xb):
     """sin(xb), cos(xb) via one shared range reduction + minimax polynomials.
 
-    r = xb - 2*pi*round(xb/2*pi) in [-pi, pi]; sin = r*P(r^2) (deg-9 odd),
-    cos = Q(r^2) (deg-10 even). Max abs error 1.7e-5 (sin) / 2.4e-6 (cos)
-    over the full reduced range, incl. the f32 reduction error at the posenc
-    arg scale (|xb| <= ~3100 for |x|<=6, F=10). ~6x faster than the XLA
-    sin+cos pair in-kernel on v5e (docs/PERF.md): one rounding + ~22 FMAs
-    instead of two full libm-style evaluations.
+    r = xb - 2*pi*round(xb/2*pi) in [-pi, pi] with a two-constant
+    (Cody-Waite) reduction: 2*pi is split into an 11-bit-exact head C1 and
+    tail C2, so k*C1 cancels exactly against xb and the residual error is
+    ~k*ulp(C2) ~ 5e-8 at the posenc arg scale (k <= ~500 for |x|<=6, F=10).
+    A single-constant reduction loses ~2.3e-4 there (the advisor-measured
+    bound) — one extra FMA buys back the polynomial-limited accuracy:
+    max abs error 1.8e-5 (sin, deg-9 odd) / 2.6e-6 (cos, deg-10 even)
+    measured over |xb| <= 3100 incl. reduction error. ~6x faster than the
+    XLA sin+cos pair in-kernel on
+    v5e (docs/PERF.md): one rounding + ~23 FMAs instead of two full
+    libm-style evaluations.
     """
     y = xb * 0.15915494309189535  # 1/(2*pi)
-    r = (y - jnp.round(y)) * 6.283185307179586
+    k = jnp.round(y)
+    # Cody-Waite split of 2*pi: C1 = 6.28125 (11-bit mantissa, k*C1 exact),
+    # C2 = 2*pi - C1
+    r = (xb - k * 6.28125) - k * 0.0019353071795864769
     r2 = r * r
     s = r * (0.9999845940079196 + r2 * (-0.16663259474612063 + r2 * (
         0.008312388725549872 + r2 * (-0.00019316277202555934

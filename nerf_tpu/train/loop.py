@@ -91,6 +91,9 @@ def render_path(
     """
     H, W, focal = scene.H, scene.W, scene.focal
     if render_factor != 0:
+        # a passed-in render_frame was traced at full H/W and would silently
+        # ignore the downsample (and mismatch gt shapes) — rebuild instead
+        render_frame = None
         H, W, focal = H // render_factor, W // render_factor, focal / render_factor
     K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32)
 

@@ -118,3 +118,50 @@ def test_bf16_compute_close():
     bf16 = apply_mlp(params, cfg, x, v, compute_dtype=jnp.bfloat16)
     assert bf16.dtype == jnp.float32
     assert jnp.max(jnp.abs(f32 - bf16)) < 0.15
+
+
+def test_strict_parity_init_matches_torch_linear_defaults():
+    """sigma_bias=0.0 ('strict parity' init) reproduces torch Linear's
+    default init distribution exactly: every weight/bias uniform in
+    [-1/sqrt(fan_in), 1/sqrt(fan_in)] (ref run_nerf_helpers.py:67-94 uses
+    stock nn.Linear), with the documented sigma_bias=0.1 default being the
+    ONLY deviation (models/nerf_mlp.py init_params docstring)."""
+    from nerf_tpu.models.nerf_mlp import MLPConfig, init_params
+
+    cfg = MLPConfig(input_ch=63, input_ch_views=27)
+    params = init_params(jax.random.key(3), cfg, sigma_bias=0.0)
+
+    def check(name, p, fan_in):
+        bound = 1.0 / np.sqrt(fan_in)
+        for part in ("w", "b"):
+            arr = np.asarray(p[part])
+            assert arr.min() >= -bound and arr.max() <= bound, (name, part)
+            if arr.size >= 512:
+                # uniform moments: mean ~ 0, var ~ bound^2/3
+                assert abs(arr.mean()) < 0.1 * bound, (name, part)
+                assert abs(arr.var() - bound**2 / 3) < 0.15 * bound**2 / 3, (
+                    name, part,
+                )
+
+    fan_in = cfg.input_ch
+    for i, layer in enumerate(params["trunk"]):
+        check(f"trunk{i}", layer, fan_in)
+        fan_in = cfg.width + (cfg.input_ch if i in cfg.skips else 0)
+    check("alpha", params["alpha"], cfg.width)
+    check("feature", params["feature"], cfg.width)
+    check("views", params["views"], cfg.width + cfg.input_ch_views)
+    check("rgb", params["rgb"], cfg.width // 2)
+
+    # the default init differs ONLY in the density-head bias shift
+    dflt = init_params(jax.random.key(3), cfg)  # sigma_bias=0.1 default
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(dflt),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        label = jax.tree_util.keystr(ka)
+        if "alpha" in label and "'b'" in label:
+            np.testing.assert_allclose(np.asarray(b) - np.asarray(a), 0.1,
+                                       rtol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

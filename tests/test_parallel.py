@@ -187,3 +187,37 @@ def test_full_train_loop_on_mesh_matches_single_device(tmp_path):
 
     ckpts = os.listdir(os.path.join(str(tmp_path), "mesh8"))
     assert any(c.startswith("ckpt_") for c in ckpts), ckpts
+
+
+def test_dp_mesh_shape_invariant():
+    """data_axis=2 and data_axis=8 produce the same trajectory: the claim
+    that justifies the pre-drawn-override design (train/step.py
+    draw_overrides — randomness drawn GLOBALLY outside shard_map, so results
+    do not depend on how the batch is split across devices). Tolerances
+    match test_dp_matches_single_chip_stochastic: the pmean reduction order
+    differs between mesh shapes, so equality is near- not bitwise."""
+    import dataclasses
+
+    model, rs, params = _setup()
+    rs = dataclasses.replace(rs, perturb=True, raw_noise_std=0.7)
+    lr = 5e-4
+    batch = _batch()
+    key = jax.random.key(7)
+
+    losses, psnrs = {}, {}
+    for n_data in (2, 8):
+        state = init_train_state(params, lr, 250)
+        mesh = make_mesh(n_data=n_data)
+        step = make_sharded_train_step(mesh, model, rs, lr, 250, donate=False)(
+            state
+        )
+        sbatch = shard_batch(mesh, *batch)
+        ls, ps = [], []
+        for _ in range(4):
+            state, aux = step(state, *sbatch, key)
+            ls.append(float(aux["loss"]))
+            ps.append(float(aux["psnr"]))
+        losses[n_data], psnrs[n_data] = ls, ps
+
+    np.testing.assert_allclose(losses[2], losses[8], rtol=2e-5)
+    np.testing.assert_allclose(psnrs[2], psnrs[8], rtol=2e-5)

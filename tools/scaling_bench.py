@@ -151,11 +151,21 @@ def main() -> None:
         rows.append(r)
         print(json.dumps(r), flush=True)
 
-    # correctness: per-device batches are identical only in expectation, but
-    # the FIRST step loss on the identical global batch must be
-    # mesh-invariant up to reduction-order fp noise when global batch sizes
-    # match — check among equal global_n_rand rows if present; otherwise
-    # record losses for the table.
+    # correctness: the first-step loss on an IDENTICAL global batch is
+    # mesh-invariant (pre-drawn override design, train/step.py). Under weak
+    # scaling global_n_rand differs per row, so the assertion fires only for
+    # rows that share a global batch size; other losses are recorded for
+    # manual inspection in the table.
+    by_rand = {}
+    for r in rows:
+        by_rand.setdefault(r["global_n_rand"], []).append(r["first_step_loss"])
+    for nr, ls in by_rand.items():
+        if len(ls) > 1:
+            spread = max(ls) - min(ls)
+            assert spread <= 1e-4 * max(1.0, abs(ls[0])), (
+                f"first-step loss not mesh-invariant at global_n_rand={nr}: {ls}"
+            )
+
     base = rows[0]["agg_rays_per_sec"] / rows[0]["n_devices"]
     for r in rows:
         r["weak_scaling_efficiency_virtual"] = r["agg_rays_per_sec"] / (
