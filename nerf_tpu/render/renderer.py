@@ -20,6 +20,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerf_tpu.geom.rays import get_rays, ndc_rays
 from nerf_tpu.ops.compositing import raw2outputs, raw2outputs_planes
@@ -266,6 +267,30 @@ def render_image(
         rays_o, rays_d, rs, H, W, focal, near, far, viewdirs_from
     )
 
+    out = render_rays_chunked(
+        params, model, rs, rays_o, rays_d, viewdirs, near_v, far_v,
+        chunk=chunk, key=key,
+    )
+    return {
+        k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
+    }
+
+
+def render_rays_chunked(
+    params,
+    model: NeRFModel,
+    rs: RenderSettings,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    near_v: jnp.ndarray,
+    far_v: jnp.ndarray,
+    chunk: int = 1024 * 32,
+    key: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a flat ray batch via lax.map over fixed-size chunks (the
+    jittable core shared by render_image and the mesh-sharded frame
+    renderer). Returns flat [N, ...] outputs; chunk padding is trimmed."""
     n = rays_o.shape[0]
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
@@ -304,10 +329,7 @@ def render_image(
             return render_rays(params, model, rs, ro, rd, None, nr, fr, key=k)
 
     out = jax.lax.map(chunk_fn, operands)
-    out = {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:n] for k, v in out.items()}
-    return {
-        k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
-    }
+    return {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:n] for k, v in out.items()}
 
 
 def make_frame_renderer(
@@ -319,6 +341,7 @@ def make_frame_renderer(
     near: float,
     far: float,
     chunk: int = 1024 * 32,
+    mesh=None,
 ):
     """One jitted (params, c2w) -> frame program for eval/video paths.
 
@@ -329,13 +352,68 @@ def make_frame_renderer(
     jit (compiled once per (H, W, chunk) shape); async dispatch then lets
     the caller enqueue frame i+1 while fetching frame i (see
     train/loop.py render_path's depth-2 pipeline).
+
+    ``mesh``: a ('data', ...) device mesh. The frame's H*W ray axis is then
+    sharded over 'data' via shard_map (each device chunk-renders its ray
+    shard; the reference's render_path is single-device, run_nerf.py:137-175,
+    and without this the testset/video renders of a multi-chip training run
+    leave N-1 chips idle). shard_map rather than jit sharding propagation
+    because the fused Pallas kernel is not GSPMD-partitionable. Intended for
+    the deterministic eval settings (rs.eval_mode()); with stochastic
+    settings the per-shard chunk keys differ from the single-device
+    program's, so results would not match it draw-for-draw.
     """
     K_j = jnp.asarray(K)
 
+    if mesh is None:
+        @jax.jit
+        def render_frame(params, c2w):
+            return render_image(
+                params, model, rs, H, W, K_j, c2w, near, far, chunk=chunk
+            )
+
+        return render_frame
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape["data"]
+    n = H * W
+    per = -(-n // n_dev)
+    pad_total = per * n_dev - n
+    focal = float(np.asarray(K)[0, 0])
+
+    def shard_body(params, ro, rd, vd, nv, fv):
+        vd = vd if rs.use_viewdirs else None
+        return render_rays_chunked(
+            params, model, rs, ro, rd, vd, nv, fv,
+            chunk=min(chunk, per), key=jax.random.key(0),
+        )
+
     @jax.jit
     def render_frame(params, c2w):
-        return render_image(
-            params, model, rs, H, W, K_j, c2w, near, far, chunk=chunk
+        rays_o, rays_d = get_rays(H, W, K_j, c2w)
+        ro, rd, vd, nv, fv = prepare_rays(
+            rays_o, rays_d, rs, H, W, focal, near, far
         )
+        if vd is None:
+            vd = jnp.zeros((ro.shape[0], 0), ro.dtype)
+
+        def pad_rows(x):
+            if not pad_total:
+                return x
+            return jnp.concatenate([x, jnp.repeat(x[-1:], pad_total, 0)], 0)
+
+        args = tuple(pad_rows(a) for a in (ro, rd, vd, nv, fv))
+        out = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(),) + (P("data"),) * 5,
+            out_specs=P("data"),
+            # vma checking can't see through pallas_call (the fused kernel)
+            check_vma=False,
+        )(params, *args)
+        return {
+            k: v[:n].reshape(H, W, *v.shape[1:]) for k, v in out.items()
+        }
 
     return render_frame

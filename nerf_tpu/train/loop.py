@@ -255,10 +255,19 @@ def train(
     except ImportError:
         step_iter = range(start + 1, cfg.n_iters + 1)
 
+    # Sharded eval: with a (single-process) mesh, frame renders shard the
+    # H*W ray axis over 'data' so testset/video renders use every chip
+    # instead of leaving N-1 idle (renderer.py make_frame_renderer). In a
+    # multi-process run the per-frame host fetch would touch non-addressable
+    # shards, so process 0 renders locally instead.
+    sharded_eval = mesh is not None and jax.process_count() == 1
+
     def eval_params(st):
-        # eval renders run on the default device; under a mesh the params are
-        # NamedSharding-replicated, so pull once per eval (a few MB)
-        return jax.device_get(st.params) if mesh is not None else st.params
+        # sharded eval consumes the mesh-replicated params in place;
+        # otherwise pull once per eval (a few MB) to the default device
+        if mesh is not None and not sharded_eval:
+            return jax.device_get(st.params)
+        return st.params
 
     # ONE jitted frame program shared by every full-res eval site (i_img,
     # i_video spiral, i_testset) — traced lazily on first eval, reused after
@@ -270,6 +279,7 @@ def train(
                 make_frame_renderer(
                     model, rs.eval_mode(), scene.H, scene.W, scene.K,
                     near, far, chunk=cfg.chunk,
+                    mesh=mesh if sharded_eval else None,
                 )
             )
         return _frame_renderer[0]

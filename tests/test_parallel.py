@@ -221,3 +221,38 @@ def test_dp_mesh_shape_invariant():
 
     np.testing.assert_allclose(losses[2], losses[8], rtol=2e-5)
     np.testing.assert_allclose(psnrs[2], psnrs[8], rtol=2e-5)
+
+
+def test_sharded_frame_renderer_matches_single_device():
+    """make_frame_renderer(mesh=...) shards the frame's H*W ray axis over
+    'data' (VERDICT r3 #5; ref render_path is single-device,
+    run_nerf.py:137-175). In eval mode (deterministic) the sharded frame
+    must equal the single-device frame to fp-reduction noise."""
+    from nerf_tpu.render.renderer import make_frame_renderer
+
+    model, rs, params = _setup()
+    rs_eval = rs.eval_mode()
+    H = W = 16
+    focal = 0.8 * W
+    K = np.array(
+        [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
+    )
+    c2w = jnp.asarray(
+        np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]], np.float32
+        )
+    )
+
+    single = make_frame_renderer(model, rs_eval, H, W, K, 2.0, 6.0, chunk=64)
+    mesh = make_mesh(n_data=8)
+    sharded = make_frame_renderer(
+        model, rs_eval, H, W, K, 2.0, 6.0, chunk=64, mesh=mesh
+    )
+
+    out_s = single(params, c2w)
+    out_m = sharded(params, c2w)
+    assert out_m["rgb_map"].shape == (H, W, 3)
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out_m[k]), rtol=1e-5, atol=1e-6
+        )
