@@ -54,14 +54,18 @@ import os as _os
 FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "1024"))
 BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "1024"))
 # bf16 posenc trig (measured on v5e, docs/PERF.md):
-# - "poly" (default): selector matmul + ONE shared range reduction + deg-9/10
-#   minimax polynomials for sin/cos on the [T, 3F] block. 6x faster than
-#   jnp.sin/cos in-kernel (0.42 vs 2.55 ms per fine fwd pass) at 1.7e-5 max
-#   abs error — far below bf16 quantization (~4e-3).
+# - "poly" (default): selector matmul + ONE shared Cody-Waite range reduction
+#   + deg-9/10 minimax polynomials for sin/cos on the [T, 3F] block. 6x
+#   faster than jnp.sin/cos in-kernel (0.42 vs 2.55 ms per fine fwd pass) at
+#   1.8e-5 max abs error — far below bf16 quantization (~4e-3).
 # - "selector": selector matmul + exact jnp.sin/cos (the r01 behavior).
 # - "recurrence": double-angle chain — 2 transcendentals per point but a
 #   9-deep serial chain on 3-of-128-lane [T,3] blocks; measured SLOWER
 #   (51.0 vs 48.3 ms/step) — this was the r01->r02 bench regression.
+# - "repeat": xb via pltpu.repeat + exact 2^f lane multiply instead of the
+#   selector matmul; exact (serves f32 too) but measured SLOWER (37.9 vs
+#   33.9 ms/step, r4) — Mosaic lowers the lane replication as shuffles that
+#   cost more than the 6-pass HIGHEST matmul, like the r01 lane-concat.
 # The f32 parity path always uses exact jnp.sin/cos.
 TRIG_MODE = _os.environ.get("NERF_TPU_TRIG", "poly")
 # bwd holds 8 trunk activations + weight-grad accumulators + weights (all
@@ -123,13 +127,18 @@ def pack_params(params: Dict, cfg: MLPConfig, pe_pts: PosEncConfig,
     ep = 3 + 6 * Fp
     t = params["trunk"]
     kp = {}
-    kp["W0e"] = _reorder_emb_rows(t[0]["w"], Fp).astype(dtype)
+    w0e = _reorder_emb_rows(t[0]["w"], Fp)
     kp["b0"] = t[0]["b"].astype(jnp.float32)[None, :]
     for i in range(1, _DEPTH):
         w = t[i]["w"]
         if i == _SKIP + 1:
             # skip layer input order: cat([x_emb, h]) (run_nerf_helpers.py:103)
-            kp["W5e"] = _reorder_emb_rows(w[:ep], Fp).astype(dtype)
+            # Both embedding contributions (layer 0 and the skip re-inject)
+            # consume the same e, so their K=63 matmuls merge into ONE
+            # e @ [W0e | W5e] pass of N=2W (and the backward merges the two
+            # dW and d_e matmuls the same way) — fewer small-K MXU setups.
+            w5e = _reorder_emb_rows(w[:ep], Fp)
+            kp["W05e"] = jnp.concatenate([w0e, w5e], axis=1).astype(dtype)
             kp[f"W{i}"] = w[ep:].astype(dtype)
         else:
             kp[f"W{i}"] = w.astype(dtype)
@@ -191,9 +200,9 @@ def _dot_at(a, b):
 
 
 _KP_ORDER = [
-    "W0e", "b0",
+    "W05e", "b0",
     "W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4",
-    "W5", "W5e", "b5",
+    "W5", "b5",
     "W6", "b6", "W7", "b7",
     "Wf", "bf",
     "Wvf", "Wve", "bv",
@@ -204,22 +213,20 @@ _KP_ORDER = [
 def _poly_sincos(xb):
     """sin(xb), cos(xb) via one shared range reduction + minimax polynomials.
 
-    r = xb - 2*pi*round(xb/2*pi) in [-pi, pi] with a two-constant
-    (Cody-Waite) reduction: 2*pi is split into an 11-bit-exact head C1 and
-    tail C2, so k*C1 cancels exactly against xb and the residual error is
-    ~k*ulp(C2) ~ 5e-8 at the posenc arg scale (k <= ~500 for |x|<=6, F=10).
-    A single-constant reduction loses ~2.3e-4 there (the advisor-measured
-    bound) — one extra FMA buys back the polynomial-limited accuracy:
-    max abs error 1.8e-5 (sin, deg-9 odd) / 2.6e-6 (cos, deg-10 even)
-    measured over |xb| <= 3100 incl. reduction error. ~6x faster than the
-    XLA sin+cos pair in-kernel on
-    v5e (docs/PERF.md): one rounding + ~23 FMAs instead of two full
-    libm-style evaluations.
+    r = xb - 2*pi*round(xb/2*pi) in [-pi, pi] via a two-constant (Cody-Waite)
+    reduction — 2*pi split into an 11-bit-exact head (k*C1 cancels exactly
+    against xb) and a tail C2 — so the reduction residual is ~k*ulp(C2)
+    ~ 5e-8 at the posenc arg scale (k <= ~500 for |x|<=6, F=10) and accuracy
+    is polynomial-limited: max abs error 1.8e-5 (sin, deg-9 odd) / 2.6e-6
+    (cos, deg-10 even), measured over |xb| <= 3100. The single-constant
+    reduction loses ~2.3e-4 there (advisor r3); the extra FMA is a measured
+    step-level wash on v5e (33.9 +- 0.3 ms either way, r4). ~6x faster than
+    the XLA sin+cos pair in-kernel (docs/PERF.md): one rounding + ~23 FMAs
+    instead of two full libm-style evaluations.
     """
     y = xb * 0.15915494309189535  # 1/(2*pi)
     k = jnp.round(y)
-    # Cody-Waite split of 2*pi: C1 = 6.28125 (11-bit mantissa, k*C1 exact),
-    # C2 = 2*pi - C1
+    # C1 = 6.28125 (11-bit mantissa: k*C1 exact), C2 = 2*pi - C1
     r = (xb - k * 6.28125) - k * 0.0019353071795864769
     r2 = r * r
     s = r * (0.9999845940079196 + r2 * (-0.16663259474612063 + r2 * (
@@ -241,6 +248,21 @@ def _trig_blocks(x, sel, num_freqs, dtype):
     reference-tolerance tests are unaffected. The recurrence variant's
     error is ~7e-4 at F=10 over |x|<=6 (grows ~2x per doubling).
     """
+    if TRIG_MODE == "repeat":
+        # xb via pltpu.repeat (tile repeat: x0 x1 x2 x0 x1 x2 .. = the
+        # f-major lane order the kernel layout already uses) times an EXACT
+        # power-of-two lane constant — replaces the 6-pass f32-HIGHEST
+        # selector matmul with one VPU lane-replication + one multiply.
+        # 2^f is exact in f32, so this serves the f32 parity path too.
+        f_lane = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 3 * num_freqs), 1) // 3
+        )
+        pow2 = jnp.exp2(f_lane.astype(jnp.float32))
+        xrep = pltpu.repeat(x, num_freqs, axis=1)
+        xb = xrep * pow2
+        if dtype == jnp.float32:
+            return jnp.sin(xb), jnp.cos(xb)
+        return _poly_sincos(xb)
     if dtype == jnp.float32 or num_freqs == 1 or TRIG_MODE == "selector":
         xb = _dot(x, sel)
         return jnp.sin(xb), jnp.cos(xb)
@@ -353,13 +375,15 @@ def _per_point_to_per_ray(x_pt, spr):
 
 def _trunk_forward(e, kp, dtype, keep_acts=False):
     acts = []
-    h = jax.nn.relu(_dot(e, kp["W0e"]) + kp["b0"])
+    width = kp["W05e"].shape[1] // 2
+    z05 = _dot(e, kp["W05e"])  # layer-0 and skip contributions in one pass
+    h = jax.nn.relu(z05[:, :width] + kp["b0"])
     for i in range(1, _DEPTH):
         if keep_acts:
             acts.append(h.astype(dtype))
         z = _dot(h.astype(dtype), kp[f"W{i}"]) + kp[f"b{i}"]
         if i == _SKIP + 1:
-            z = z + _dot(e, kp["W5e"])
+            z = z + z05[:, width:]
         h = jax.nn.relu(z)
     if keep_acts:
         acts.append(h.astype(dtype))
@@ -371,14 +395,20 @@ def _head_forward(h, ev, kp, dtype, width, spr):
     broadcast to the tile's RV*spr points (spr=1 -> dense/per-point mode).
 
     Returns (out [T, 4] = cat(rgb, alpha), feat, hv): rgb and alpha come out
-    of one [T, 3W/2] @ [3W/2, 4] matmul on cat([hv, h7]) (see pack_params).
+    of the logical cat([hv, h7]) @ Wout ([3W/2, 4], see pack_params), split
+    into its two row blocks so the [T, 3W/2] lane-concat never materializes
+    (sublane slices of Wout are tile-aligned and free).
     """
     hc = h.astype(dtype)
     feat = _dot(hc, kp["Wf"]) + kp["bf"]  # [T, W]
     ev_contrib = _per_ray_to_per_point(_dot(ev, kp["Wve"]), spr)
     hv = jax.nn.relu(_dot(feat.astype(dtype), kp["Wvf"]) + ev_contrib + kp["bv"])
-    cat = jnp.concatenate([hv.astype(dtype), hc], axis=-1)  # [T, W/2 + W]
-    out = _dot(cat, kp["Wout"]) + kp["bout"]  # [T, 4] = (rgb, alpha)
+    hw = width // 2
+    out = (
+        _dot(hv.astype(dtype), kp["Wout"][:hw])
+        + _dot(hc, kp["Wout"][hw:])
+        + kp["bout"]
+    )  # [T, 4] = (rgb, alpha)
     return out, feat, hv
 
 
@@ -426,16 +456,22 @@ def _mlp_backward_math(
     def acc(name, val):
         accs[name] = val
 
-    # --- head backward (out = cat([hv, h7]) @ Wout + bout) ---
+    # --- head backward (out = cat([hv, h7]) @ Wout + bout, cat-free: the
+    # two Wout row blocks are handled separately; dWout re-joins along the
+    # sublane axis, which concatenates for free) ---
     g32 = g.astype(jnp.float32)
     gc = g32.astype(dtype)
     hw = width // 2
-    cat = jnp.concatenate([hv.astype(dtype), h7.astype(dtype)], axis=-1)
-    acc("dWout", _dot_at(cat, gc))
+    acc(
+        "dWout",
+        jnp.concatenate(
+            [_dot_at(hv.astype(dtype), gc), _dot_at(h7.astype(dtype), gc)],
+            axis=0,
+        ),
+    )
     acc("dbout", jnp.sum(g32, axis=0, keepdims=True))
-    d_cat = _dot_t(gc, kp["Wout"])  # [T, W/2 + W] f32
-    d_hv = d_cat[:, :hw] * (hv > 0)
-    d_h7_out = d_cat[:, hw:]
+    d_hv = _dot_t(gc, kp["Wout"][:hw]) * (hv > 0)
+    d_h7_out = _dot_t(gc, kp["Wout"][hw:])
     d_hv_c = d_hv.astype(dtype)
 
     acc("dWvf", _dot_at(feat.astype(dtype), d_hv_c))
@@ -462,25 +498,25 @@ def _mlp_backward_math(
     d_h = (_dot_t(d_feat_c, kp["Wf"]) + d_h7_out) * (h7 > 0)
 
     # --- trunk backward ---
-    d_e5 = None
+    d5c = None
     for i in range(_DEPTH - 1, 0, -1):
         d_c = d_h.astype(dtype)
         a_prev = acts[i - 1]
         acc(f"dW{i}", _dot_at(a_prev, d_c))
         acc(f"db{i}", jnp.sum(d_h, axis=0, keepdims=True))
         if i == _SKIP + 1:
-            acc("dW5e", _dot_at(e, d_c))
-            if want_input_grads:
-                d_e5 = _dot_t(d_c, kp["W5e"])
+            d5c = d_c  # skip-contribution cotangent, joins dW05e below
         # relu mask in f32: Mosaic on v5e rejects bf16 vector compares
         d_h = _dot_t(d_c, kp[f"W{i}"]) * (a_prev.astype(jnp.float32) > 0)
 
     d0 = d_h.astype(dtype)
-    acc("dW0e", _dot_at(e, d0))
+    # merged embedding grads: dW05e = e^T @ [d0 | d5] in ONE K=T matmul
+    d05 = jnp.concatenate([d0, d5c], axis=-1)
+    acc("dW05e", _dot_at(e, d05))
     acc("db0", jnp.sum(d_h, axis=0, keepdims=True))
     dx = None
     if want_input_grads:
-        d_e = _dot_t(d0, kp["W0e"]) + d_e5
+        d_e = _dot_t(d05, kp["W05e"])  # = d0 @ W0e^T + d5 @ W5e^T
         fp3 = 3 * n_freq_p
         d_xb = d_e[:, 3 : 3 + fp3] * cp - d_e[:, 3 + fp3 :] * sp
         dx = d_e[:, :3].astype(jnp.float32) + _dot_t(
