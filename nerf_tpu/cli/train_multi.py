@@ -75,8 +75,19 @@ def main(argv=None):
     scenes = [load_scene(c) for c in cfgs]
     model = make_model(c0)
     rs = render_settings_from_config(c0)
+    for c in cfgs[1:]:
+        if c.ndc != c0.ndc:
+            raise SystemExit(
+                "all scenes must agree on NDC (llff forward-facing) vs not — "
+                "one compiled program"
+            )
+    # NDC scenes march in [0,1] (ref run_nerf.py:564-566) and carry their own
+    # (H, W, focal) into the step as a per-scene operand
+    hwf_stack = None
     if rs.ndc:
-        raise SystemExit("train_multi currently supports non-NDC (blender) scenes")
+        hwf_stack = jnp.asarray(
+            [[s.H, s.W, s.focal] for s in scenes], jnp.float32
+        )
 
     root = jax.random.key(c0.seed)
     k_init, k_sample, k_step = jax.random.split(root, 3)
@@ -104,15 +115,18 @@ def main(argv=None):
         make_sampler(s, c, k)
         for s, c, k in zip(scenes, cfgs, jax.random.split(k_sample, S))
     ]
+    bounds = [(0.0, 1.0) if rs.ndc else (s.near, s.far) for s in scenes]
     near = jnp.stack(
-        [jnp.full((c0.N_rand,), s.near, jnp.float32) for s in scenes], 0
+        [jnp.full((c0.N_rand,), b[0], jnp.float32) for b in bounds], 0
     )
     far = jnp.stack(
-        [jnp.full((c0.N_rand,), s.far, jnp.float32) for s in scenes], 0
+        [jnp.full((c0.N_rand,), b[1], jnp.float32) for b in bounds], 0
     )
     keys = jax.random.split(k_step, S)
     if mesh is not None:
         near, far, keys = (shard_scene_axis(mesh, x) for x in (near, far, keys))
+        if hwf_stack is not None:
+            hwf_stack = shard_scene_axis(mesh, hwf_stack)
 
     t0 = time.time()
     history = []
@@ -124,7 +138,10 @@ def main(argv=None):
         ro, rd, tgt = (jnp.stack(x, 0) for x in zip(*batches))
         if mesh is not None:
             ro, rd, tgt = (shard_scene_axis(mesh, x) for x in (ro, rd, tgt))
-        mstate, aux = step(mstate, ro, rd, near, far, tgt, keys)
+        if hwf_stack is not None:
+            mstate, aux = step(mstate, ro, rd, near, far, tgt, keys, hwf_stack)
+        else:
+            mstate, aux = step(mstate, ro, rd, near, far, tgt, keys)
         if i % c0.i_print == 0:
             losses = np.asarray(aux["loss"])
             psnrs = np.asarray(aux["psnr"])

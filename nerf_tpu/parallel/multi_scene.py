@@ -46,14 +46,19 @@ def make_multi_scene_step(
     lrate: float,
     lrate_decay: int,
     donate: bool = True,
-    hwf=None,
 ):
     """vmapped train step.
 
     Returned fn: (stacked_state, rays_o[S,N,3], rays_d[S,N,3], near[S,N],
     far[S,N], target[S,N,3], keys[S]) -> (stacked_state, aux dict of [S]).
+    With rs.ndc the fn takes a trailing ``hwf [S, 3]`` argument — each
+    scene's (H, W, focal) rides the vmap as an operand, so forward-facing
+    scenes with different intrinsics share one compiled program (the NDC
+    transform is pure arithmetic in H/W/focal; train/step.py hwf_operand).
     """
-    step_fn = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
+    step_fn = make_train_step_fn(
+        model, rs, lrate, lrate_decay, hwf_operand=rs.ndc
+    )
     vstep = jax.vmap(step_fn)
     return jax.jit(vstep, donate_argnums=(0,) if donate else ())
 
@@ -65,23 +70,25 @@ def make_sharded_multi_scene_step(
     lrate: float,
     lrate_decay: int,
     donate: bool = True,
-    hwf=None,
 ):
     """The vmapped step with the SCENE axis sharded over the mesh's 'data'
     axis — one scene (group) per device (group), zero cross-scene
     communication (the BASELINE "one scene per host group" sweep shape).
+    Takes the trailing hwf [S, 3] operand when rs.ndc (see
+    make_multi_scene_step).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step_fn = make_train_step_fn(model, rs, lrate, lrate_decay, hwf=hwf)
+    step_fn = make_train_step_fn(
+        model, rs, lrate, lrate_decay, hwf_operand=rs.ndc
+    )
     vstep = jax.vmap(step_fn)
     scene_sh = NamedSharding(mesh, P("data"))  # leading axis = scene
+    n_args = 8 if rs.ndc else 7
     return jax.jit(
         vstep,
         # a single sharding broadcasts over every leaf of a pytree argument
-        in_shardings=(
-            scene_sh, scene_sh, scene_sh, scene_sh, scene_sh, scene_sh, scene_sh,
-        ),
+        in_shardings=(scene_sh,) * n_args,
         out_shardings=(scene_sh, scene_sh),
         donate_argnums=(0,) if donate else (),
     )

@@ -146,6 +146,7 @@ def make_train_step_core(
     lrate_decay: int,
     hwf=None,
     axis_name: Optional[str] = None,
+    hwf_operand: bool = False,
 ):
     """The per-shard train-step body, randomness pre-drawn by the caller.
 
@@ -158,20 +159,27 @@ def make_train_step_core(
     Viewdirs derive from the RAW rays_d (normalization) and, on the LLFF
     forward-facing path, the marching rays are NDC-transformed afterwards —
     matching the reference's render() preamble order (run_nerf.py:102-114).
-    ``hwf=(H, W, focal)`` is required when rs.ndc.
+    ``hwf=(H, W, focal)`` is required when rs.ndc. With ``hwf_operand`` the
+    fn instead takes a trailing ``hwf [3]`` array argument (traced scalars:
+    ndc_rays is pure arithmetic in H/W/focal) — the multi-scene vmap path,
+    where every scene has its own intrinsics (parallel/multi_scene.py).
     """
     tx = make_optimizer(lrate, lrate_decay)
-    if rs.ndc and hwf is None:
+    if rs.ndc and hwf is None and not hwf_operand:
         raise ValueError("rs.ndc=True requires hwf=(H, W, focal)")
 
-    def core(state: TrainState, rays_o, rays_d, near, far, target, overrides):
+    def core(state: TrainState, rays_o, rays_d, near, far, target, overrides,
+             hwf_arr=None):
         viewdirs = None
         if rs.use_viewdirs:
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         if rs.ndc:
             from nerf_tpu.geom.rays import ndc_rays
 
-            H, W, focal = hwf
+            if hwf_operand:
+                H, W, focal = hwf_arr[0], hwf_arr[1], hwf_arr[2]
+            else:
+                H, W, focal = hwf
             rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, model, rs, rays_o, rays_d, viewdirs, near, far, target,
@@ -198,13 +206,28 @@ def make_train_step_fn(
     lrate: float,
     lrate_decay: int,
     hwf=None,
+    hwf_operand: bool = False,
 ):
     """Build the UN-jitted train step body (jitted by make_train_step for
     single-chip, or vmapped by parallel.multi_scene).
 
-    Returned fn: (state, rays_o, rays_d, near, far, target, key) -> (state, aux).
+    Returned fn: (state, rays_o, rays_d, near, far, target, key) -> (state,
+    aux) — plus a trailing ``hwf [3]`` argument when ``hwf_operand`` (the
+    multi-scene NDC path; see make_train_step_core).
     """
-    core = make_train_step_core(model, rs, lrate, lrate_decay, hwf)
+    core = make_train_step_core(
+        model, rs, lrate, lrate_decay, hwf, hwf_operand=hwf_operand
+    )
+
+    if hwf_operand:
+        def step_fn(state: TrainState, rays_o, rays_d, near, far, target, key,
+                    hwf_arr):
+            key = jax.random.fold_in(key, state.step)
+            overrides = draw_overrides(key, rays_o.shape[0], rs)
+            return core(state, rays_o, rays_d, near, far, target, overrides,
+                        hwf_arr)
+
+        return step_fn
 
     def step_fn(state: TrainState, rays_o, rays_d, near, far, target, key):
         key = jax.random.fold_in(key, state.step)

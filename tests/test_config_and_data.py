@@ -236,3 +236,63 @@ def test_backdrop_field_covers_frustum():
     img_plain = render_gt_rays(fp_plain, jnp.asarray(ro), jnp.asarray(dirs),
                                near=2.0, far=6.0, n_samples=256)
     assert float(np.mean(np.all(np.asarray(img_plain) > 0.999, -1))) > 0.3
+
+
+def test_spherify_end_to_end_train_smoke(tmp_path):
+    """VERDICT r3 #10: the spherified 360-degree path (ref load_llff.py:
+    184-240) gets an end-to-end run — synthesize an inward-facing circular
+    capture on disk, load with spherify=True, and drive train() for a few
+    steps (tiny model, jnp path). spherify_poses itself is parity-pinned in
+    tests/test_poses.py; this covers loader -> driver integration."""
+    import dataclasses
+
+    import imageio.v2 as imageio
+    import jax
+
+    from nerf_tpu.config import NeRFConfig
+    from nerf_tpu.data.llff import load_llff_scene
+    from nerf_tpu.train.loop import train
+
+    n, H, W, f = 8, 20, 24, 22.0
+    rng = np.random.default_rng(7)
+    os.makedirs(tmp_path / "images")
+    poses_bounds = np.zeros((n, 17))
+    up = np.array([0.0, 0.0, 1.0])
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        p = np.array([4 * np.cos(th), 4 * np.sin(th), 0.6])
+        z = p / np.linalg.norm(p)  # camera 'back' points away from origin
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.stack([x, y, z, p], 1)
+        m = np.concatenate(
+            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:3], c2w[:, 3:4],
+             np.array([[H], [W], [f]])], 1
+        )
+        poses_bounds[i, :15] = m.reshape(-1)
+        poses_bounds[i, 15:] = [2.0, 6.0]
+        img = (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+        imageio.imwrite(str(tmp_path / "images" / f"im{i:02d}.png"), img)
+    np.save(tmp_path / "poses_bounds.npy", poses_bounds)
+
+    scene = load_llff_scene(
+        str(tmp_path), factor=1, spherify=True, llffhold=4, no_ndc=True
+    )
+    assert scene.images.shape == (n, H, W, 3)
+    assert np.isfinite(scene.poses).all()
+    assert np.isfinite(scene.render_poses).all()
+    assert scene.near > 0 and scene.far > scene.near
+
+    cfg = NeRFConfig(
+        expname="spherify_smoke", basedir=str(tmp_path / "logs"),
+        dataset_type="llff", spherify=True, no_ndc=True, factor=1,
+        llffhold=4, netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+        multires=2, multires_views=1, use_viewdirs=True,
+        N_rand=32, N_samples=8, N_importance=8, lindisp=False,
+        i_print=5, i_img=0, i_weights=0, i_testset=0, i_video=0,
+        n_iters=10, compute_dtype="float32", data_axis=1, donate_state=False,
+    )
+    assert not cfg.ndc  # llff + no_ndc
+    result = train(cfg, scene=scene)
+    assert len(result.history) == 2
+    assert all(np.isfinite(l) for _, l, _ in result.history)

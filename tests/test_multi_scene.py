@@ -132,3 +132,71 @@ def test_train_multi_cli_on_mesh(tmp_path):
     for s in range(2):
         ckpts = os.listdir(tmp_path / "logs" / f"ms{s}")
         assert any(c.startswith("ckpt_") for c in ckpts), ckpts
+
+
+def test_multi_scene_ndc_matches_individual():
+    """NDC (forward-facing) scenes with DIFFERENT intrinsics in one vmapped
+    program: each scene's (H, W, focal) rides the vmap as an operand
+    (train/step.py hwf_operand), and training matches the per-scene
+    single-scene step with static hwf."""
+    S = 2
+    model = _model()
+    rs = RenderSettings(n_samples=16, n_importance=0, perturb=False, ndc=True,
+                        use_viewdirs=True)
+    hwfs = [(40, 50, 35.0), (24, 30, 20.0)]
+
+    def init_fn(k):
+        return init_model_params(k, model)
+
+    def _ff_batch(s, n=64):
+        # forward-facing rays: z pointing toward -1 (ndc divides by d_z)
+        rng = np.random.default_rng(s)
+        ro = rng.standard_normal((n, 3)).astype(np.float32) * 0.05
+        rd = rng.standard_normal((n, 3)).astype(np.float32) * 0.2
+        rd[:, 2] = -1.0 - np.abs(rd[:, 2])
+        tgt = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        return (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros((n,)),
+                jnp.ones((n,)), jnp.asarray(tgt))
+
+    mstate = init_multi_scene_state(jax.random.key(0), S, init_fn, 5e-4, 250)
+    mstep = make_multi_scene_step(model, rs, 5e-4, 250, donate=False)
+
+    batches = [_ff_batch(s) for s in range(S)]
+    stacked = tuple(jnp.stack([b[i] for b in batches], 0) for i in range(5))
+    keys = jax.random.split(jax.random.key(5), S)
+    hwf_stack = jnp.asarray([list(h) for h in hwfs], jnp.float32)
+
+    m_losses = []
+    for _ in range(3):
+        mstate, aux = mstep(mstate, *stacked, keys, hwf_stack)
+        m_losses.append(np.asarray(aux["loss"]))
+    assert np.isfinite(np.asarray(m_losses)).all()
+
+    # The operand path computes W/(2*focal) etc. in traced f32 while the
+    # static path folds them in Python f64 — 1-ulp ray differences that Adam
+    # turns into +-lr sign flips on near-zero grads (same phenomenon and
+    # same assertion style as test_dp_matches_single_chip_stochastic):
+    # scalar trajectory tight, params overwhelmingly equal with stragglers
+    # bounded by the Adam step size.
+    lr = 5e-4
+    final = unstack_states(mstate, S)
+    for s in range(S):
+        sstep = make_train_step(model, rs, lr, 250, donate=False,
+                                hwf=hwfs[s])
+        state = init_train_state(
+            init_fn(jax.random.split(jax.random.key(0), S)[s]), lr, 250
+        )
+        losses = []
+        for _ in range(3):
+            state, aux_s = sstep(state, *batches[s], keys[s])
+            losses.append(float(aux_s["loss"]))
+        np.testing.assert_allclose([m[s] for m in m_losses], losses, rtol=1e-4)
+        n_diff = n_total = 0
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(final[s].params)):
+            a, b = np.asarray(a), np.asarray(b)
+            close = np.isclose(a, b, rtol=1e-4, atol=1e-6)
+            assert np.abs(a - b)[~close].max(initial=0.0) < 2.1 * 3 * lr
+            n_diff += (~close).sum()
+            n_total += a.size
+        assert n_diff / n_total < 0.05, f"{n_diff}/{n_total} params differ"
