@@ -48,6 +48,34 @@ def exclusive_cumprod(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumprod(jnp.concatenate([ones, x], axis=-1), axis=-1)[..., :-1]
 
 
+def strict_upper_ones(S: int) -> jnp.ndarray:
+    """U [S, S] with U[j, i] = 1 iff j < i, so (x @ U)_i = sum_{j<i} x_j
+    (exclusive prefix) and (x @ U.T)_k = sum_{i>k} x_i (strict suffix).
+    Shared by the matmul-scan path below and ops/fused_render.py's in-kernel
+    online transmittance."""
+    return jnp.asarray(np.triu(np.ones((S, S), np.float32), k=1))
+
+
+def _sigma_with_noise(sigma, noise, raw_noise_std, key):
+    """Optional pre-activation density noise (ref run_nerf.py:283-291)."""
+    if noise is not None:
+        return sigma + noise
+    if raw_noise_std > 0.0:
+        if key is None:
+            raise ValueError("raw_noise_std>0 requires key or explicit noise")
+        return sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * raw_noise_std
+    return sigma
+
+
+def _one_minus_alpha(alpha):
+    """(1 - alpha) + 1e-10 with the floor intact: maximum() is a numerical
+    no-op (alpha <= 1) but blocks XLA from reassociating the adds into
+    (1.0 + 1e-10) - alpha == 1.0 - alpha, which loses the 1e-10 floor where
+    alpha == 1 (observed on TPU; harmless under cumprod, fatal under the
+    log of the matmul-scan path)."""
+    return jnp.maximum(1.0 - alpha, 0.0) + 1e-10
+
+
 def raw2outputs(
     raw: jnp.ndarray,
     z_vals: jnp.ndarray,
@@ -74,21 +102,10 @@ def raw2outputs(
     dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
 
     rgb = jax.nn.sigmoid(raw[..., :3])
-    sigma = raw[..., 3]
-    if noise is not None:
-        sigma = sigma + noise
-    elif raw_noise_std > 0.0:
-        if key is None:
-            raise ValueError("raw_noise_std>0 requires key or explicit noise")
-        sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * raw_noise_std
+    sigma = _sigma_with_noise(raw[..., 3], noise, raw_noise_std, key)
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
-    # maximum() is a numerical no-op (alpha <= 1) but blocks XLA from
-    # reassociating the adds into (1.0 + 1e-10) - alpha == 1.0 - alpha,
-    # which loses the 1e-10 floor where alpha == 1 (observed on TPU)
-    weights = alpha * exclusive_cumprod(
-        jnp.maximum(1.0 - alpha, 0.0) + 1e-10
-    )
+    weights = alpha * exclusive_cumprod(_one_minus_alpha(alpha))
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1)
@@ -153,25 +170,14 @@ def raw2outputs_planes(
         dists = dists * nrm
 
     rgb = jax.nn.sigmoid(raw4[:3])  # [3, N_rays, N_samples]
-    sigma = raw4[3]
-    if noise is not None:
-        sigma = sigma + noise
-    elif raw_noise_std > 0.0:
-        if key is None:
-            raise ValueError("raw_noise_std>0 requires key or explicit noise")
-        sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * raw_noise_std
+    sigma = _sigma_with_noise(raw4[3], noise, raw_noise_std, key)
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
-    # maximum() blocks XLA's (1.0 + 1e-10) - alpha reassociation which would
-    # zero the 1e-10 floor at alpha == 1 — fatal for the log below
-    one_m_alpha = jnp.maximum(1.0 - alpha, 0.0) + 1e-10
+    one_m_alpha = _one_minus_alpha(alpha)
     if matmul_scan:
-        tril = jnp.asarray(
-            np.triu(np.ones((S, S), np.float32), k=1)
-        )  # M[j, i] = 1 iff j < i: column i sums lanes j < i -> exclusive
         t_excl = jnp.exp(
             jnp.dot(
-                jnp.log(one_m_alpha), tril,
+                jnp.log(one_m_alpha), strict_upper_ones(S),
                 precision=jax.lax.Precision.HIGHEST,
             )
         )

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_tpu.models.embedding import PosEncConfig
 from nerf_tpu.models.nerf_mlp import MLPConfig
+from nerf_tpu.ops.compositing import strict_upper_ones as _strict_upper_ones
 from nerf_tpu.ops.fused_mlp import (
     _KP_ORDER,
     _accumulate_weight_grads,
@@ -68,11 +69,6 @@ from nerf_tpu.ops.fused_mlp import supports as mlp_supports
 def supports(cfg: MLPConfig, pe_pts, pe_views, n_samples: int) -> bool:
     return mlp_supports(cfg, pe_pts, pe_views) and n_samples % 8 == 0
 
-
-def _strict_upper_ones(S: int) -> jnp.ndarray:
-    """U [S, S] with U[j, i] = 1 iff j < i, so (x @ U)_i = sum_{j<i} x_j
-    (exclusive prefix) and (x @ U.T)_k = sum_{i>k} x_i (strict suffix)."""
-    return jnp.asarray(np.triu(np.ones((S, S), np.float32), k=1))
 
 
 def _f32_dot(a, b):

@@ -69,6 +69,13 @@ def host_shard_slice(n_total: int) -> slice:
     """This host's contiguous shard of a length-n_total global batch axis."""
     n = jax.process_count()
     i = jax.process_index()
+    if n_total % n != 0:
+        # silently dropping the remainder would shrink the global batch and
+        # skip rays without any diagnostic — fail loudly instead
+        raise ValueError(
+            f"global batch axis ({n_total}) must divide evenly over "
+            f"{n} processes"
+        )
     per = n_total // n
     return slice(i * per, (i + 1) * per)
 

@@ -176,7 +176,10 @@ def train(
     )
     start = int(state.step)
 
-    # render-only short-circuit (ref run_nerf.py:654-672)
+    # render-only short-circuit (ref run_nerf.py:654-672); artifacts are a
+    # host-side product, so only process 0 renders in a multi-process launch
+    if cfg.render_only and not is_main:
+        return TrainResult(state=state, history=[])
     if cfg.render_only:
         poses = scene.poses[scene.i_test] if cfg.render_test else scene.render_poses
         gt = scene.images[scene.i_test] if cfg.render_test else None

@@ -99,7 +99,6 @@ def main():
     ref = oracle_raw(params)
     ref_scale = float(jnp.abs(ref).max())
     print(f"flagship shape R={R} S={S}; |raw| max = {ref_scale:.3f}")
-    rows = []
     for name, fn in [
         ("fused f32 (pts)", fused_raw(jnp.float32)),
         ("fused bf16 (pts)", fused_raw(jnp.bfloat16)),
@@ -108,7 +107,6 @@ def main():
     ]:
         out = fn(params)
         d = float(jnp.abs(out - ref).max())
-        rows.append((f"fwd raw: {name}", d))
         print(f"fwd  {name:28s} max|d| = {d:.3e}")
 
     # --- parameter gradients through an mse-style loss on raw ---
@@ -127,7 +125,6 @@ def main():
         g = loss_of(fn)(params)
         d = tree_max_abs_diff(g, g_ref)
         rl2 = tree_rel_l2(g, g_ref)
-        rows.append((f"param-grad: {name}", d, rl2))
         print(f"grad {name:28s} max|d| = {d:.3e}  rel-L2 = {rl2:.3e}")
 
     # --- compositing scan formulations on chip ---
@@ -146,7 +143,6 @@ def main():
     scan = comp(True)
     for n, a, b in zip(("rgb", "acc", "weights"), exact, scan):
         d = float(jnp.abs(a - b).max())
-        rows.append((f"compositing matmul_scan vs exact: {n}", d))
         print(f"comp {n:28s} max|d| = {d:.3e}")
 
     print("\nCPU-interpret test tolerances for comparison:")
