@@ -88,6 +88,14 @@ class NeRFConfig:
     donate_state: bool = True  # donate train state buffers into the jitted step
     debug_nan: bool = False  # per-step non-finite loss scan (ref DEBUG, run_nerf.py:24)
     trace: bool = False  # capture a jax.profiler trace of a few steady steps
+    # fuse this many sampler+train steps into ONE dispatched lax.scan program
+    # (single-process, unmeshed loops only). At the recipes' N_rand=1024 the
+    # device step is ~8.3 ms but per-step host dispatch adds ~3.2 ms (28%);
+    # fusing amortizes it: 88.5k -> 108k rays/s measured on the lego recipe
+    # (r4; fuse=25/50/100 gave 105k/108k/109.4k — 50 balances throughput
+    # against cadence granularity). Draw-for-draw identical to the per-step
+    # loop (chain_split key threading). 1 disables.
+    fuse_steps: int = 50
 
     @property
     def ndc(self) -> bool:

@@ -105,17 +105,58 @@ class BatchedRaySampler:
             self.perm = np.asarray(self.perm)
         self.i_batch = 0
 
-    def next_batch(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def ensure_epoch(self):
+        """Re-wrap the permutation when fewer than n_rand rays remain.
+
+        Epoch boundary (ref run_nerf.py:722-726). The reference emits one
+        SHORT batch here; under jit batch shapes must be static, so instead
+        the window wraps: remainder of the old permutation + head of the new
+        one. Every ray is consumed exactly once per epoch either way."""
         if self.i_batch + self.n_rand > self.perm.shape[0]:
-            # Epoch boundary (ref run_nerf.py:722-726). The reference emits one
-            # SHORT batch here; under jit batch shapes must be static, so
-            # instead the window wraps: remainder of the old permutation +
-            # head of the new one. Every ray is consumed exactly once per
-            # epoch either way.
             tail = self.perm[self.i_batch :]
             self._reshuffle()
             cat = np.concatenate if self._multiproc else jnp.concatenate
             self.perm = cat([tail, self.perm])
+
+    # --- fused multi-step scan support (train/loop.py fuse_steps) ---
+
+    def scan_supported(self) -> bool:
+        return not self._multiproc
+
+    def max_chunk(self) -> int:
+        """Whole batches left before the epoch wrap (host-side bookkeeping
+        the fused scan cannot do)."""
+        return (self.perm.shape[0] - self.i_batch) // self.n_rand
+
+    def scan_fn(self, step0: int):
+        """Stable (memoized, so the driver's jit cache hits) pure sampler
+        body: batch = fn(args, offset). The buffer/perm ride as ARGUMENTS —
+        closing over them would bake a multi-MB constant into the jaxpr."""
+        if not hasattr(self, "_scan_fn"):
+            n_rand = self.n_rand
+
+            def sample_fn(args, offset):
+                buffer, perm = args
+                return _gather_window(buffer, perm, offset, n_rand)
+
+            self._scan_fn = sample_fn
+        return self._scan_fn
+
+    def scan_operands(self, step0: int, k: int):
+        """(args, per_step) for a k-step chunk: the same window-offset
+        sequence k next_batch() calls would gather. Caller advances host
+        state with advance(k) afterwards; chunks must not cross the epoch
+        wrap (driver caps at max_chunk())."""
+        offsets = jnp.asarray(
+            self.i_batch + self.n_rand * np.arange(k), jnp.int32
+        )
+        return (self.buffer, self.perm), offsets
+
+    def advance(self, k: int):
+        self.i_batch += k * self.n_rand
+
+    def next_batch(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        self.ensure_epoch()
         if self._multiproc:
             from nerf_tpu.parallel.distributed import global_batch_from_host_shards
 
@@ -229,6 +270,64 @@ class ImageRaySampler:
                 self._mesh, tuple(np.asarray(a)[sl] for a in out)
             )
         return out
+
+    # --- fused multi-step scan support (train/loop.py fuse_steps) ---
+
+    def scan_supported(self) -> bool:
+        return not self._multiproc
+
+    def ensure_epoch(self):
+        pass  # no epoch state
+
+    def max_chunk(self) -> int:
+        return 1 << 30  # no epoch state; the driver bounds chunks elsewhere
+
+    def scan_fn(self, step0: int):
+        """Stable per-crop-phase sampler body (memoized so the driver's jit
+        cache hits): batch = fn(args, sub). The crop is chunk-static, so the
+        driver never lets a chunk cross the precrop boundary."""
+        crop = self._crop if step0 < self.precrop_iters else self._full
+        if not hasattr(self, "_scan_fns"):
+            self._scan_fns = {}
+        if crop not in self._scan_fns:
+            H, W, n_rand = self.H, self.W, self.n_rand
+
+            def sample_fn(args, sub, _crop=crop):
+                images, poses, i_train, K = args
+                return _sample_image_rays(
+                    images, poses, i_train, K, H, W, n_rand, _crop, sub
+                )
+
+            self._scan_fns[crop] = sample_fn
+        return self._scan_fns[crop]
+
+    def scan_operands(self, step0: int, k: int):
+        """(args, per_step): the key draws are the exact split chain the
+        per-step path would make (chain_split), so trajectories are
+        draw-identical; the host key advances here."""
+        self.key, subs = chain_split(self.key, k)
+        return (self.images, self.poses, self.i_train, self.K), subs
+
+    def advance(self, k: int):
+        pass  # key already advanced by scan_operands' chain_split
+
+
+def chain_split(key: jax.Array, k: int):
+    """K chained ``key, sub = split(key)`` draws in ONE device program.
+
+    Returns (advanced_key, subs [k]) with exactly the sequence the per-step
+    host loop would produce — the fused multi-step scan path
+    (train/loop.py) stays draw-for-draw identical to the single-step loop."""
+
+    @partial(jax.jit, static_argnums=1)
+    def _chain(key, k):
+        def body(c, _):
+            c2, sub = jax.random.split(c)
+            return c2, sub
+
+        return jax.lax.scan(body, key, None, length=k)
+
+    return _chain(key, k)
 
 
 def make_sampler(scene: Scene, cfg, key: jax.Array, sharding=None):

@@ -252,11 +252,11 @@ def train(
             far_v = jax.device_put(far_v, batch_sh)
 
     try:
-        from tqdm import trange
+        from tqdm import tqdm
 
-        step_iter = trange(start + 1, cfg.n_iters + 1, desc=cfg.expname)
+        pbar = tqdm(total=cfg.n_iters - start, desc=cfg.expname)
     except ImportError:
-        step_iter = range(start + 1, cfg.n_iters + 1)
+        pbar = None
 
     # Sharded eval: with a (single-process) mesh, frame renders shard the
     # H*W ray axis over 'data' so testset/video renders use every chip
@@ -300,18 +300,96 @@ def train(
     )
     timer.start()
 
-    history = []
-    for i in step_iter:
-        if cfg.no_batching:
-            rays_o, rays_d, target = sampler.next_batch(i)
-        else:
-            rays_o, rays_d, target = sampler.next_batch()
-        state, aux = step_fn(state, rays_o, rays_d, near_v, far_v, target, k_step)
-        timer.step()
+    # --- fused multi-step scan: amortize per-step host dispatch ---
+    # At the recipes' N_rand=1024 the device step is ~8.3 ms but the
+    # per-step loop adds ~3.2 ms of host dispatch (sampler call + step call
+    # + bookkeeping; measured r4, docs/PERF.md). With fuse_steps > 1,
+    # sampler+step for K steps run as ONE dispatched lax.scan program —
+    # draw-for-draw identical to the per-step loop (the samplers' scan
+    # specs reproduce the exact key/offset sequences). Chunks never cross a
+    # cadence event, the precrop boundary, or an epoch wrap, so all side
+    # effects fire at the same steps.
+    fuse = max(1, int(getattr(cfg, "fuse_steps", 1)))
+    can_fuse = (
+        fuse > 1
+        and mesh is None
+        and jax.process_count() == 1
+        and not cfg.trace
+        and "on_step" not in hooks
+        and sampler.scan_supported()
+    )
+    fused_runner = None
+    if can_fuse:
+        from nerf_tpu.train.step import make_train_step_fn
 
-        if cfg.debug_nan and not np.isfinite(float(aux["loss"])):
+        raw_step = make_train_step_fn(
+            model, rs, cfg.lrate, cfg.lrate_decay,
+            hwf=(scene.H, scene.W, scene.focal),
+        )
+        _runners = {}
+
+        def fused_runner(sample_fn):
+            if sample_fn not in _runners:
+                def run(st, args, per_step, near_v, far_v, key):
+                    def body(s, op):
+                        ro, rd, tgt = sample_fn(args, op)
+                        return raw_step(s, ro, rd, near_v, far_v, tgt, key)
+
+                    return jax.lax.scan(body, st, per_step)
+
+                _runners[sample_fn] = jax.jit(
+                    run, donate_argnums=(0,) if cfg.donate_state else ()
+                )
+            return _runners[sample_fn]
+
+    cadences = [
+        c for c in (cfg.i_print, cfg.i_img, cfg.i_weights, cfg.i_video,
+                    cfg.i_testset) if c > 0
+    ]
+
+    def chunk_for(i: int) -> int:
+        """Steps the fused program may run starting at i (>= 1 always)."""
+        j = cfg.n_iters
+        for c in cadences:
+            j = min(j, -(-i // c) * c)  # first multiple of c that is >= i
+        if cfg.no_batching and i <= sampler.precrop_iters:
+            # crop is chunk-static: stay strictly inside the precrop phase
+            j = min(j, sampler.precrop_iters)
+        sampler.ensure_epoch()
+        return min(j - i + 1, sampler.max_chunk())
+
+    history = []
+    i = start + 1
+    while i <= cfg.n_iters:
+        k = chunk_for(i) if can_fuse else 1
+        if can_fuse and k >= fuse:
+            k = fuse  # fixed chunk size -> one compiled program
+            sample_fn = sampler.scan_fn(i)
+            args, per_step = sampler.scan_operands(i, k)
+            state, aux_stack = fused_runner(sample_fn)(
+                state, args, per_step, near_v, far_v, k_step
+            )
+            sampler.advance(k)
+            aux = jax.tree.map(lambda x: x[-1], aux_stack)
+            losses_chunk = aux_stack["loss"] if cfg.debug_nan else None
+        else:
+            k = 1
+            if cfg.no_batching:
+                rays_o, rays_d, target = sampler.next_batch(i)
+            else:
+                rays_o, rays_d, target = sampler.next_batch()
+            state, aux = step_fn(
+                state, rays_o, rays_d, near_v, far_v, target, k_step
+            )
+            losses_chunk = aux["loss"] if cfg.debug_nan else None
+        i += k - 1  # i = last executed step; cadence below fires for it
+        timer.step(k)
+        if pbar is not None:
+            pbar.update(k)
+
+        if cfg.debug_nan and not np.all(np.isfinite(np.asarray(losses_chunk))):
             # ref DEBUG NaN scan (run_nerf.py:414-416) — here it also stops
-            raise FloatingPointError(f"non-finite loss at step {i}")
+            raise FloatingPointError(f"non-finite loss by step {i}")
 
         if cfg.trace and i == start + 12:
             # steady state (past compile + warmup): capture a few real steps
@@ -379,5 +457,8 @@ def train(
             timer.start()  # don't count eval renders as train throughput
         if "on_step" in hooks:
             hooks["on_step"](i, state, aux)
+        i += 1
 
+    if pbar is not None:
+        pbar.close()
     return TrainResult(state=state, history=history)

@@ -179,3 +179,30 @@ def test_image_sampler_precrop_bounds():
         if tuple(np.round(d, 5)) not in all_dirs:
             out_of_crop += 1
     assert out_of_crop > 0
+
+
+def test_fused_scan_loop_matches_per_step_loop(tmp_path):
+    """fuse_steps > 1 runs sampler+step chunks as one lax.scan program; the
+    samplers' scan specs reproduce the exact key/offset sequences of the
+    per-step loop, so the trajectories must match to fp-reduction noise —
+    for BOTH ray policies, across the precrop boundary and an i_print
+    cadence not divisible by the fuse size."""
+    scene = make_scene(H=20, W=20, n_train=4, n_test=1, seed=2)
+    for policy_kw in (
+        dict(no_batching=True, precrop_iters=7, precrop_frac=0.5),
+        dict(no_batching=False),
+    ):
+        histories = {}
+        for fuse in (1, 5):
+            cfg = _tiny_cfg(
+                tmp_path / f"f{fuse}_{policy_kw['no_batching']}",
+                N_rand=64, N_samples=8, N_importance=8,
+                netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+                n_iters=36, i_print=12, fuse_steps=fuse, seed=3,
+                donate_state=False, **policy_kw,
+            )
+            histories[fuse] = train(cfg, scene=scene).history
+        h1 = np.asarray(histories[1])
+        h5 = np.asarray(histories[5])
+        assert h1.shape == h5.shape and h1.shape[0] == 3
+        np.testing.assert_allclose(h1, h5, rtol=2e-5, atol=1e-6)
