@@ -352,9 +352,11 @@ def train(
         j = cfg.n_iters
         for c in cadences:
             j = min(j, -(-i // c) * c)  # first multiple of c that is >= i
-        if cfg.no_batching and i <= sampler.precrop_iters:
-            # crop is chunk-static: stay strictly inside the precrop phase
-            j = min(j, sampler.precrop_iters)
+        if cfg.no_batching and i < sampler.precrop_iters:
+            # crop is chunk-static: steps with index < precrop_iters sample
+            # the center crop (ref run_nerf.py:738), so a crop-phase chunk
+            # must end at precrop_iters - 1 — the LAST cropped step
+            j = min(j, sampler.precrop_iters - 1)
         sampler.ensure_epoch()
         return min(j - i + 1, sampler.max_chunk())
 
