@@ -51,8 +51,13 @@ from nerf_tpu.models.nerf_mlp import MLPConfig
 
 import os as _os
 
-FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "1024"))
-BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "1024"))
+# r4 sweep with the raygen/planes kernel structure (docs/PERF.md): 4096/2048
+# beats the old 1024/1024 by ~1.4% (33.6 vs 33.9-34.1 ms/step). At spr=192
+# this means 3072-point fwd tiles (fine bwd stays 1536); at spr=64 the
+# coarse bwd tile doubles to 2048, halving its accumulator flush count.
+# 4096/4096 regresses (VMEM pressure: 36.9 ms), 8192 fwd too (35.1).
+FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "4096"))
+BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "2048"))
 # bf16 posenc trig (measured on v5e, docs/PERF.md):
 # - "poly" (default): selector matmul + ONE shared Cody-Waite range reduction
 #   + deg-9/10 minimax polynomials for sin/cos on the [T, 3F] block. 6x
