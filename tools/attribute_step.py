@@ -1,5 +1,10 @@
 """Attribute train-step time: forward vs backward vs sampling machinery.
 
+SUPERSEDED for within-step attribution by tools/trace_step.py: each
+separately-jitted sub-program here pays the ~0.5 ms remote dispatch floor,
+which round-3's analysis mistook for kernel time (docs/PERF.md round 4).
+This tool remains useful for coarse program-level A/Bs only.
+
 Times jitted sub-programs of the lego-recipe step (N_rand=4096, 64+128,
 bf16, fused kernels) on the real chip:
 
