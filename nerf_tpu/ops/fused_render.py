@@ -27,6 +27,15 @@ TPU-first design notes:
 
 Numerics: transmittance via exp∘sum∘log differs from the jnp cumprod at the
 last-ulp level (f32 HIGHEST matmuls); parity tests bound it at ~1e-5.
+
+STATUS (r4): built + parity-tested, NOT the production path. Measured slower
+than the split path in r3 (docs/PERF.md "fused_render adoption decision"),
+and round 4 removed its remaining rationale: the split path now also
+generates points in-kernel and composites shift-free on full-lane planes
+(fused_mlp raygen/planes + compositing matmul_scan), so the HBM traffic this
+kernel saves is already gone. Kept as the single-kernel building block for a
+future sample-sparse regime (large S per ray) where one launch per level
+could win again.
 """
 
 from __future__ import annotations

@@ -161,6 +161,9 @@ def make_sharded_train_step(
             donate_argnums=(0,) if donate else (),
         )
 
+    # the un-jitted shard_map body, for callers that embed the step in a
+    # larger jitted program (the fused multi-step scan, train/loop.py)
+    compile_step.step_fn = step_fn
     return compile_step
 
 

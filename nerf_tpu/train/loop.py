@@ -212,13 +212,16 @@ def train(
         mesh = make_mesh(n_data=n_data)
         batch_sh = batch_sharding(mesh)
         state = place_state(mesh, state)
-        step_fn = make_sharded_train_step(
+        _compile_step = make_sharded_train_step(
             mesh, model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
             hwf=(scene.H, scene.W, scene.focal),
-        )(state)
+        )
+        step_fn = _compile_step(state)
+        raw_mesh_step = getattr(_compile_step, "step_fn", None)
         if is_main:
             print(f"[MESH] data-parallel over {n_data} devices: {mesh}")
     else:
+        raw_mesh_step = None
         step_fn = make_train_step(
             model, rs, cfg.lrate, cfg.lrate_decay, cfg.donate_state,
             hwf=(scene.H, scene.W, scene.focal),
@@ -312,20 +315,35 @@ def train(
     fuse = max(1, int(getattr(cfg, "fuse_steps", 1)))
     can_fuse = (
         fuse > 1
-        and mesh is None
         and jax.process_count() == 1
         and not cfg.trace
         and "on_step" not in hooks
         and sampler.scan_supported()
+        and (mesh is None or raw_mesh_step is not None)
     )
     fused_runner = None
     if can_fuse:
-        from nerf_tpu.train.step import make_train_step_fn
+        jit_kwargs = dict(donate_argnums=(0,) if cfg.donate_state else ())
+        if mesh is None:
+            from nerf_tpu.train.step import make_train_step_fn
 
-        raw_step = make_train_step_fn(
-            model, rs, cfg.lrate, cfg.lrate_decay,
-            hwf=(scene.H, scene.W, scene.focal),
-        )
+            raw_step = make_train_step_fn(
+                model, rs, cfg.lrate, cfg.lrate_decay,
+                hwf=(scene.H, scene.W, scene.focal),
+            )
+        else:
+            # mesh mode: scan the shard_map step body. The sampler computes
+            # replicated (tiny); the shard_map's P('data') in_specs slice the
+            # batch per device. Per-chip DP batches are small, so the
+            # dispatch amortization matters MORE on a pod than single-chip.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            raw_step = raw_mesh_step
+            rep = NamedSharding(mesh, P())
+            jit_kwargs.update(
+                in_shardings=(rep, rep, rep, batch_sh, batch_sh, rep),
+                out_shardings=(rep, rep),
+            )
         _runners = {}
 
         def fused_runner(sample_fn):
@@ -337,9 +355,7 @@ def train(
 
                     return jax.lax.scan(body, st, per_step)
 
-                _runners[sample_fn] = jax.jit(
-                    run, donate_argnums=(0,) if cfg.donate_state else ()
-                )
+                _runners[sample_fn] = jax.jit(run, **jit_kwargs)
             return _runners[sample_fn]
 
     cadences = [

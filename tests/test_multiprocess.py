@@ -48,6 +48,10 @@ def driver_config(policy: str, basedir: str):
         n_iters=40, seed=11, compute_dtype="float32",
         data_axis=0,  # all global devices on 'data'
         donate_state=False,
+        # per-step on both sides: multi-process runs can't fuse, and the
+        # fused-vs-per-step delta (fp reduction order) would eat into this
+        # test's tight cross-process tolerance
+        fuse_steps=1,
     )
 
 

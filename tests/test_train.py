@@ -196,6 +196,11 @@ def test_fused_scan_loop_matches_per_step_loop(tmp_path):
         dict(no_batching=True, precrop_iters=10, precrop_frac=0.5,
              i_print=5, n_iters=20),
         dict(no_batching=False),
+        # mesh mode: the scanned shard_map body must match the per-step
+        # jitted shard_map step (DP over 4 virtual devices)
+        dict(no_batching=False, data_axis=4),
+        dict(no_batching=True, precrop_iters=7, precrop_frac=0.5,
+             data_axis=4),
     )):
         histories = {}
         for fuse in (1, 5):
