@@ -130,27 +130,31 @@ class BatchedRaySampler:
 
     def scan_fn(self, step0: int):
         """Stable (memoized, so the driver's jit cache hits) pure sampler
-        body: batch = fn(args, offset). The buffer/perm ride as ARGUMENTS —
-        closing over them would bake a multi-MB constant into the jaxpr."""
+        body: batch = fn(args, idx). The buffer rides as an ARGUMENT —
+        closing over it would bake a multi-hundred-MB constant into the
+        jaxpr."""
         if not hasattr(self, "_scan_fn"):
-            n_rand = self.n_rand
 
-            def sample_fn(args, offset):
-                buffer, perm = args
-                return _gather_window(buffer, perm, offset, n_rand)
+            def sample_fn(args, idx):
+                (buffer,) = args
+                batch = buffer[idx]  # [n_rand, 3, 3]
+                return batch[:, 0], batch[:, 1], batch[:, 2]
 
             self._scan_fn = sample_fn
         return self._scan_fn
 
     def scan_operands(self, step0: int, k: int):
-        """(args, per_step) for a k-step chunk: the same window-offset
-        sequence k next_batch() calls would gather. Caller advances host
-        state with advance(k) afterwards; chunks must not cross the epoch
-        wrap (driver caps at max_chunk())."""
-        offsets = jnp.asarray(
-            self.i_batch + self.n_rand * np.arange(k), jnp.int32
-        )
-        return (self.buffer, self.perm), offsets
+        """(args, per_step) for a k-step chunk: per_step is the
+        [k, n_rand] window of permutation indices the k next_batch() calls
+        would gather. Slicing the window OUTSIDE the fused program keeps its
+        operand shapes fixed — the epoch-wrap concat changes len(perm) when
+        n_total % n_rand != 0, and passing perm itself would recompile the
+        whole fused train program once per epoch. Caller advances host state
+        with advance(k); chunks must not cross the epoch wrap (driver caps
+        at max_chunk())."""
+        idx = self.perm[self.i_batch : self.i_batch + k * self.n_rand]
+        idx = jnp.asarray(idx, jnp.int32).reshape(k, self.n_rand)
+        return (self.buffer,), idx
 
     def advance(self, k: int):
         self.i_batch += k * self.n_rand
@@ -312,22 +316,24 @@ class ImageRaySampler:
         pass  # key already advanced by scan_operands' chain_split
 
 
+@partial(jax.jit, static_argnums=1)
+def _chain_split_impl(key, k):
+    def body(c, _):
+        c2, sub = jax.random.split(c)
+        return c2, sub
+
+    return jax.lax.scan(body, key, None, length=k)
+
+
 def chain_split(key: jax.Array, k: int):
     """K chained ``key, sub = split(key)`` draws in ONE device program.
 
     Returns (advanced_key, subs [k]) with exactly the sequence the per-step
     host loop would produce — the fused multi-step scan path
-    (train/loop.py) stays draw-for-draw identical to the single-step loop."""
-
-    @partial(jax.jit, static_argnums=1)
-    def _chain(key, k):
-        def body(c, _):
-            c2, sub = jax.random.split(c)
-            return c2, sub
-
-        return jax.lax.scan(body, key, None, length=k)
-
-    return _chain(key, k)
+    (train/loop.py) stays draw-for-draw identical to the single-step loop.
+    The jitted impl lives at module scope so the program compiles once per
+    k, not once per call."""
+    return _chain_split_impl(key, k)
 
 
 def make_sampler(scene: Scene, cfg, key: jax.Array, sharding=None):

@@ -131,6 +131,10 @@ def make_sharded_train_step(
                 donate_argnums=(0,) if donate else (),
             )
 
+        # the TP path intentionally exposes NO raw body: its state shardings
+        # are bound per-example inside jit, so it cannot be scanned by the
+        # fused loop (train/loop.py checks this attribute and falls back)
+        compile_step.step_fn = None
         return compile_step
 
     core = make_train_step_core(

@@ -362,6 +362,16 @@ def train(
         c for c in (cfg.i_print, cfg.i_img, cfg.i_weights, cfg.i_video,
                     cfg.i_testset) if c > 0
     ]
+    if can_fuse and cadences and fuse > min(cadences):
+        # chunks never cross a cadence event, so a fuse larger than the
+        # smallest interval would silently never engage — cap it and say so
+        if is_main:
+            print(
+                f"[FUSE] fuse_steps={fuse} capped to {min(cadences)} "
+                f"(smallest cadence interval)"
+            )
+        fuse = min(cadences)
+        can_fuse = fuse > 1
 
     def chunk_for(i: int) -> int:
         """Steps the fused program may run starting at i (>= 1 always)."""
@@ -378,105 +388,109 @@ def train(
 
     history = []
     i = start + 1
-    while i <= cfg.n_iters:
-        k = chunk_for(i) if can_fuse else 1
-        if can_fuse and k >= fuse:
-            k = fuse  # fixed chunk size -> one compiled program
-            sample_fn = sampler.scan_fn(i)
-            args, per_step = sampler.scan_operands(i, k)
-            state, aux_stack = fused_runner(sample_fn)(
-                state, args, per_step, near_v, far_v, k_step
-            )
-            sampler.advance(k)
-            aux = jax.tree.map(lambda x: x[-1], aux_stack)
-            losses_chunk = aux_stack["loss"] if cfg.debug_nan else None
-        else:
-            k = 1
-            if cfg.no_batching:
-                rays_o, rays_d, target = sampler.next_batch(i)
-            else:
-                rays_o, rays_d, target = sampler.next_batch()
-            state, aux = step_fn(
-                state, rays_o, rays_d, near_v, far_v, target, k_step
-            )
-            losses_chunk = aux["loss"] if cfg.debug_nan else None
-        i += k - 1  # i = last executed step; cadence below fires for it
-        timer.step(k)
-        if pbar is not None:
-            pbar.update(k)
-
-        if cfg.debug_nan and not np.all(np.isfinite(np.asarray(losses_chunk))):
-            # ref DEBUG NaN scan (run_nerf.py:414-416) — here it also stops
-            raise FloatingPointError(f"non-finite loss by step {i}")
-
-        if cfg.trace and i == start + 12:
-            # steady state (past compile + warmup): capture a few real steps
-            with trace(os.path.join(expdir, "trace")):
-                for _ in range(4):
-                    state, aux = step_fn(
-                        state, rays_o, rays_d, near_v, far_v, target, k_step
-                    )
-                jax.block_until_ready(aux["loss"])
-            timer.step(4)
-            print(f"[TRACE] profile written to {expdir}/trace")
-
-        if i % cfg.i_print == 0:
-            loss = float(aux["loss"])
-            psnr = float(aux["psnr"])
-            rep = timer.report()
-            if is_main:
-                print(
-                    f"[TRAIN] Iter: {i} Loss: {loss:.6f}  PSNR: {psnr:.3f}  "
-                    f"({rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU)"
+    try:
+        while i <= cfg.n_iters:
+            k = chunk_for(i) if can_fuse else 1
+            if can_fuse and k >= fuse:
+                k = fuse  # fixed chunk size -> one compiled program
+                sample_fn = sampler.scan_fn(i)
+                args, per_step = sampler.scan_operands(i, k)
+                state, aux_stack = fused_runner(sample_fn)(
+                    state, args, per_step, near_v, far_v, k_step
                 )
-            history.append((i, loss, psnr))
-            timer.start()
-        if is_main and cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
-            # holdout-view PSNR (the reference's i_img logging is dead code,
-            # run_nerf.py:842-861; here it's live): render one val view
-            img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
-            out = frame_renderer()(
-                eval_params(state),
-                jnp.asarray(scene.poses[img_i][:3, :4]),
-            )
-            holdout_psnr = float(
-                mse2psnr(img2mse(out["rgb_map"], jnp.asarray(scene.images[img_i])))
-            )
-            print(f"[EVAL] Iter: {i} holdout view {img_i} PSNR: {holdout_psnr:.3f}")
-        if cfg.i_weights > 0 and i % cfg.i_weights == 0:
-            # collective: ALL processes must call (orbax multihost save)
-            path = ckpt_lib.save_checkpoint(cfg.basedir, cfg.expname, state)
-            if is_main:
-                print("Saved checkpoints at", path)
-        if is_main and cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
-            rgbs, disps = render_path(
-                eval_params(state), model, rs, scene, scene.render_poses,
-                cfg.chunk, render_frame=frame_renderer(),
-            )
-            base = os.path.join(expdir, f"{cfg.expname}_spiral_{i:06d}_")
-            save_video(base + "rgb.mp4", rgbs)
-            # empty rays give disp = 1/max(1e-10, 0/0) = nan (reference-
-            # identical math, run_nerf.py:299); guard only the video scaling
-            disps = np.nan_to_num(disps, nan=0.0, posinf=0.0)
-            save_video(base + "disp.mp4", disps / max(np.max(disps), 1e-10))
-        if is_main and cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0 and len(scene.i_test):
-            testsavedir = os.path.join(expdir, f"testset_{i:06d}")
-            os.makedirs(testsavedir, exist_ok=True)
-            render_path(
-                eval_params(state), model, rs, scene, scene.poses[scene.i_test],
-                cfg.chunk, savedir=testsavedir, gt_imgs=scene.images[scene.i_test],
-                render_frame=frame_renderer(),
-            )
-        if (
-            (cfg.i_img > 0 and i % cfg.i_img == 0)
-            or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
-            or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
-        ):
-            timer.start()  # don't count eval renders as train throughput
-        if "on_step" in hooks:
-            hooks["on_step"](i, state, aux)
-        i += 1
+                sampler.advance(k)
+                aux = jax.tree.map(lambda x: x[-1], aux_stack)
+                losses_chunk = aux_stack["loss"] if cfg.debug_nan else None
+            else:
+                k = 1
+                if cfg.no_batching:
+                    rays_o, rays_d, target = sampler.next_batch(i)
+                else:
+                    rays_o, rays_d, target = sampler.next_batch()
+                state, aux = step_fn(
+                    state, rays_o, rays_d, near_v, far_v, target, k_step
+                )
+                losses_chunk = aux["loss"] if cfg.debug_nan else None
+            i += k - 1  # i = last executed step; cadence below fires for it
+            timer.step(k)
+            if pbar is not None:
+                pbar.update(k)
 
-    if pbar is not None:
-        pbar.close()
+            if cfg.debug_nan and not np.all(np.isfinite(np.asarray(losses_chunk))):
+                # ref DEBUG NaN scan (run_nerf.py:414-416) — here it also stops
+                raise FloatingPointError(f"non-finite loss by step {i}")
+
+            if cfg.trace and i == start + 12:
+                # steady state (past compile + warmup): capture a few real steps
+                with trace(os.path.join(expdir, "trace")):
+                    for _ in range(4):
+                        state, aux = step_fn(
+                            state, rays_o, rays_d, near_v, far_v, target, k_step
+                        )
+                    jax.block_until_ready(aux["loss"])
+                timer.step(4)
+                print(f"[TRACE] profile written to {expdir}/trace")
+
+            if i % cfg.i_print == 0:
+                loss = float(aux["loss"])
+                psnr = float(aux["psnr"])
+                rep = timer.report()
+                if is_main:
+                    print(
+                        f"[TRAIN] Iter: {i} Loss: {loss:.6f}  PSNR: {psnr:.3f}  "
+                        f"({rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU)"
+                    )
+                history.append((i, loss, psnr))
+                timer.start()
+            if is_main and cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
+                # holdout-view PSNR (the reference's i_img logging is dead code,
+                # run_nerf.py:842-861; here it's live): render one val view
+                img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
+                out = frame_renderer()(
+                    eval_params(state),
+                    jnp.asarray(scene.poses[img_i][:3, :4]),
+                )
+                holdout_psnr = float(
+                    mse2psnr(img2mse(out["rgb_map"], jnp.asarray(scene.images[img_i])))
+                )
+                print(f"[EVAL] Iter: {i} holdout view {img_i} PSNR: {holdout_psnr:.3f}")
+            if cfg.i_weights > 0 and i % cfg.i_weights == 0:
+                # collective: ALL processes must call (orbax multihost save)
+                path = ckpt_lib.save_checkpoint(cfg.basedir, cfg.expname, state)
+                if is_main:
+                    print("Saved checkpoints at", path)
+            if is_main and cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
+                rgbs, disps = render_path(
+                    eval_params(state), model, rs, scene, scene.render_poses,
+                    cfg.chunk, render_frame=frame_renderer(),
+                )
+                base = os.path.join(expdir, f"{cfg.expname}_spiral_{i:06d}_")
+                save_video(base + "rgb.mp4", rgbs)
+                # empty rays give disp = 1/max(1e-10, 0/0) = nan (reference-
+                # identical math, run_nerf.py:299); guard only the video scaling
+                disps = np.nan_to_num(disps, nan=0.0, posinf=0.0)
+                save_video(base + "disp.mp4", disps / max(np.max(disps), 1e-10))
+            if is_main and cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0 and len(scene.i_test):
+                testsavedir = os.path.join(expdir, f"testset_{i:06d}")
+                os.makedirs(testsavedir, exist_ok=True)
+                render_path(
+                    eval_params(state), model, rs, scene, scene.poses[scene.i_test],
+                    cfg.chunk, savedir=testsavedir, gt_imgs=scene.images[scene.i_test],
+                    render_frame=frame_renderer(),
+                )
+            if (
+                (cfg.i_img > 0 and i % cfg.i_img == 0)
+                or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
+                or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
+            ):
+                timer.start()  # don't count eval renders as train throughput
+            if "on_step" in hooks:
+                hooks["on_step"](i, state, aux)
+            i += 1
+
+    finally:
+        # close on every exit path (debug_nan raise, eval errors) so a
+        # dangling bar cannot garble subsequent terminal output
+        if pbar is not None:
+            pbar.close()
     return TrainResult(state=state, history=history)

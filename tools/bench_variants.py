@@ -86,8 +86,8 @@ def main():
     tag = (
         "fused_render" if fused_render else ("fused_mlp" if fused else "unfused")
     )
-    ft = os.environ.get("NERF_TPU_FWD_TILE", "1024")
-    bt = os.environ.get("NERF_TPU_BWD_TILE", "1024")
+    # report the values the kernel module actually resolved (defaults change)
+    from nerf_tpu.ops.fused_mlp import BWD_TILE as bt, FWD_TILE as ft
     print(
         f"{tag} N_rand={n_rand} FWD_TILE={ft} BWD_TILE={bt}: "
         f"{dt*1e3:.1f} ms/step, {n_rand/dt:,.0f} rays/s "
