@@ -96,6 +96,11 @@ class NeRFConfig:
     # against cadence granularity). Draw-for-draw identical to the per-step
     # loop (chain_split key threading). 1 disables.
     fuse_steps: int = 50
+    # strict behavioral parity with the reference's i_img holdout pick
+    # (np.random.choice over i_val, run_nerf.py:836-840 — dead code there,
+    # live here): True draws the holdout view randomly (seeded from `seed`);
+    # False (default) cycles val views deterministically
+    i_img_random: bool = False
 
     @property
     def ndc(self) -> bool:

@@ -307,13 +307,16 @@ class ImageRaySampler:
 
     def scan_operands(self, step0: int, k: int):
         """(args, per_step): the key draws are the exact split chain the
-        per-step path would make (chain_split), so trajectories are
-        draw-identical; the host key advances here."""
-        self.key, subs = chain_split(self.key, k)
+        per-step path would make (chain_split). The advanced key is only
+        STAGED here; advance(k) commits it — symmetric with
+        BatchedRaySampler, whose host state also moves only in advance(),
+        so a failed/skipped fused chunk cannot desync the host key from the
+        executed trajectory."""
+        self._staged_key, subs = chain_split(self.key, k)
         return (self.images, self.poses, self.i_train, self.K), subs
 
     def advance(self, k: int):
-        pass  # key already advanced by scan_operands' chain_split
+        self.key = self._staged_key
 
 
 @partial(jax.jit, static_argnums=1)

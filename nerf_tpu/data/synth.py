@@ -17,6 +17,7 @@ committed generator reproduces the committed benchmark numbers.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -148,15 +149,28 @@ def render_gt_rays(
     return img + (1.0 - acc)  # white background
 
 
-@jax.jit
-def _gt_chunk(centers, inv_scales, amps, colors, ro, rd):
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _gt_chunk(centers, inv_scales, amps, colors, ro, rd, near, far, n_samples):
     fp = FieldParams(centers, inv_scales, amps, colors)
-    return render_gt_rays(fp, ro, rd)
+    return render_gt_rays(fp, ro, rd, near=near, far=far, n_samples=n_samples)
+
+
+def scale_field(fp: FieldParams, s: float) -> FieldParams:
+    """Geometrically scale a field by ``s`` with optical depth preserved
+    (lengths scale by s, so density must scale by 1/s for alpha = 1 -
+    exp(-sigma*dist) to be invariant along corresponding rays)."""
+    return FieldParams(
+        centers=(fp.centers * s).astype(np.float32),
+        inv_scales=(fp.inv_scales / s).astype(np.float32),
+        amps=(fp.amps / s).astype(np.float32),
+        colors=fp.colors,
+    )
 
 
 def render_gt_image(
     fp: FieldParams, H: int, W: int, focal: float, c2w: np.ndarray,
-    chunk: int = 16384,
+    chunk: int = 16384, near: float = 2.0, far: float = 6.0,
+    n_samples: int = 384,
 ) -> np.ndarray:
     # chunk=16384: the [chunk, n_samples, K] Gaussian evaluation must stay
     # within what XLA can fuse/alloc — 65536 compiled at K=48 but fails at
@@ -178,6 +192,7 @@ def render_gt_image(
     out = []
     for i in range(0, n + pad, chunk):
         out.append(np.asarray(_gt_chunk(
-            *args, jnp.asarray(ro[i : i + chunk]), jnp.asarray(rd[i : i + chunk])
+            *args, jnp.asarray(ro[i : i + chunk]), jnp.asarray(rd[i : i + chunk]),
+            float(near), float(far), int(n_samples),
         )))
     return np.concatenate(out, 0)[:n].reshape(H, W, 3)

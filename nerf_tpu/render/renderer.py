@@ -365,6 +365,15 @@ def make_frame_renderer(
     """
     K_j = jnp.asarray(K)
 
+    if mesh is not None and (rs.perturb or rs.raw_noise_std > 0.0):
+        # per-shard randomness is a fixed key below; stochastic settings
+        # would draw identical correlated noise on every shard and diverge
+        # from the single-device program — this renderer is eval-only
+        raise ValueError(
+            "mesh-sharded frame renderer requires deterministic settings "
+            "(rs.eval_mode()): got perturb or raw_noise_std > 0"
+        )
+
     if mesh is None:
         @jax.jit
         def render_frame(params, c2w):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -373,6 +374,8 @@ def train(
         fuse = min(cadences)
         can_fuse = fuse > 1
 
+    _fuse_warned = []
+
     def chunk_for(i: int) -> int:
         """Steps the fused program may run starting at i (>= 1 always)."""
         j = cfg.n_iters
@@ -384,9 +387,78 @@ def train(
             # must end at precrop_iters - 1 — the LAST cropped step
             j = min(j, sampler.precrop_iters - 1)
         sampler.ensure_epoch()
-        return min(j - i + 1, sampler.max_chunk())
+        k = min(j - i + 1, sampler.max_chunk())
+        if k < fuse and sampler.max_chunk() < fuse and not _fuse_warned:
+            # a scene with < fuse*N_rand rays can never fill a chunk
+            # (BatchedRaySampler.max_chunk is bounded by the epoch size) —
+            # fall back to the per-step path and say so once
+            _fuse_warned.append(True)
+            if is_main:
+                print(
+                    f"[FUSE] scene epoch holds {sampler.max_chunk()} whole "
+                    f"batches < fuse_steps={fuse}; running per-step"
+                )
+        return max(k, 1)
+
+    _rng_box = []
+
+    def _holdout_rng():
+        if not _rng_box:
+            _rng_box.append(np.random.default_rng(cfg.seed))
+        return _rng_box[0]
 
     history = []
+
+    # --- async i_print metrics: defer the device fetch one print interval ---
+    # float(aux[...]) at the print boundary blocks the host on the value of
+    # the step that was JUST dispatched — on this platform a value fetch is
+    # a queue fence (memory: axon), so the dispatch pipeline drains and the
+    # device idles while the host refills it (part of the ~95k-vs-123k gap
+    # at full reference cadence, docs/PERF.md r4). Holding the aux reference
+    # and fetching it at the NEXT boundary — an i_print interval of device
+    # work later — makes the fetch free: the value is long since resident.
+    # Printed/recorded values are identical, printed one interval late; the
+    # loop tail and eval boundaries drain the queue.
+    #
+    # Rates are cumulative between value-fetch fences: the anchor is set at
+    # the FIRST flush after each epoch event (loop start / eval render), a
+    # clean "device has finished >= p_cum steps" point past any compile;
+    # every later flush reports (p_cum - anchor_cum) / (fence - anchor
+    # fence). Both endpoints are value-ready events for known step counts,
+    # so the rate can never overstate device throughput (host run-ahead and
+    # queue-drain ambiguity inflate per-interval windows on this remote
+    # platform — measured: single-interval anchoring printed 2x-40x
+    # artifacts around eval boundaries), and it converges to the steady
+    # rate within a few intervals.
+    _pending_print = []  # [(step index, aux refs, cumulative step count)]
+    _cum = [0]  # steps dispatched since loop start
+    _anchor = [None, None]  # (wall, cum) at the epoch's first fence
+
+    def _reset_anchor():
+        _anchor[:] = [None, None]  # re-warm at the next flush
+
+    def _flush_print():
+        step_i, p_aux, p_cum = _pending_print.pop()
+        loss = float(p_aux["loss"])  # fence: >= p_cum steps now finished
+        psnr = float(p_aux["psnr"])
+        now = time.perf_counter()
+        if _anchor[0] is None:
+            _anchor[:] = [now, p_cum]
+            rate = "warmup"
+        else:
+            rep = timer.report(
+                steps=p_cum - _anchor[1], elapsed=now - _anchor[0]
+            )
+            rate = (
+                f"{rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU"
+            )
+        if is_main:
+            print(
+                f"[TRAIN] Iter: {step_i} Loss: {loss:.6f}  "
+                f"PSNR: {psnr:.3f}  ({rate})"
+            )
+        history.append((step_i, loss, psnr))
+
     i = start + 1
     try:
         while i <= cfg.n_iters:
@@ -413,6 +485,7 @@ def train(
                 losses_chunk = aux["loss"] if cfg.debug_nan else None
             i += k - 1  # i = last executed step; cadence below fires for it
             timer.step(k)
+            _cum[0] += k
             if pbar is not None:
                 pbar.update(k)
 
@@ -429,23 +502,37 @@ def train(
                         )
                     jax.block_until_ready(aux["loss"])
                 timer.step(4)
+                _cum[0] += 4
+                _reset_anchor()
                 print(f"[TRACE] profile written to {expdir}/trace")
 
             if i % cfg.i_print == 0:
-                loss = float(aux["loss"])
-                psnr = float(aux["psnr"])
-                rep = timer.report()
-                if is_main:
-                    print(
-                        f"[TRAIN] Iter: {i} Loss: {loss:.6f}  PSNR: {psnr:.3f}  "
-                        f"({rep['rays_per_sec']:,.0f} rays/s, {rep['mfu']*100:.1f}% MFU)"
-                    )
-                history.append((i, loss, psnr))
-                timer.start()
+                # flush FIRST: float() on the previous interval's aux is the
+                # only device sync — normally instant (that work finished an
+                # interval ago); it doubles as the rate anchor (_flush_print)
+                if _pending_print:
+                    _flush_print()
+                _pending_print.append((i, aux, _cum[0]))
+            if _pending_print and (
+                (cfg.i_img > 0 and i % cfg.i_img == 0)
+                or (cfg.i_weights > 0 and i % cfg.i_weights == 0)
+                or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
+                or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
+            ):
+                # an eval render / ckpt save will fence the queue anyway —
+                # drain the deferred print now so its rate window stays
+                # train-only (and prints appear before the eval's own lines)
+                _flush_print()
             if is_main and cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
                 # holdout-view PSNR (the reference's i_img logging is dead code,
-                # run_nerf.py:842-861; here it's live): render one val view
-                img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
+                # run_nerf.py:842-861; here it's live): render one val view —
+                # cycled deterministically, or drawn randomly like the
+                # reference (np.random.choice, run_nerf.py:836-840) when
+                # cfg.i_img_random
+                if cfg.i_img_random:
+                    img_i = int(_holdout_rng().choice(np.asarray(scene.i_val)))
+                else:
+                    img_i = int(np.asarray(scene.i_val)[i // cfg.i_img % len(scene.i_val)])
                 out = frame_renderer()(
                     eval_params(state),
                     jnp.asarray(scene.poses[img_i][:3, :4]),
@@ -483,10 +570,13 @@ def train(
                 or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
                 or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
             ):
-                timer.start()  # don't count eval renders as train throughput
+                _reset_anchor()  # don't count eval renders as train throughput
             if "on_step" in hooks:
                 hooks["on_step"](i, state, aux)
             i += 1
+
+        if _pending_print:
+            _flush_print()  # drain the deferred final interval
 
     finally:
         # close on every exit path (debug_nan raise, eval errors) so a

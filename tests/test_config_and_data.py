@@ -15,13 +15,17 @@ REF_CONFIGS = "/root/reference/configs"
 
 def test_shipped_presets_parse():
     names = sorted(os.listdir(REPO_CONFIGS))
-    assert len(names) == 18  # the reference's 16 + synth/synthff benchmark scenes
+    # the reference's 16 + synth/synthff/synth_dv benchmark scenes
+    assert len(names) == 19
     for n in names:
         cfg = load_config(["--config", os.path.join(REPO_CONFIGS, n)])
         assert cfg.N_rand == 1024
         assert cfg.use_viewdirs
         if cfg.dataset_type == "blender":
             assert cfg.N_importance == 128 and cfg.white_bkgd and cfg.no_batching
+            assert not cfg.ndc
+        elif cfg.dataset_type == "deepvoxels":
+            assert cfg.shape == "greek_synth" and cfg.white_bkgd
             assert not cfg.ndc
         else:
             assert cfg.dataset_type == "llff"
@@ -294,5 +298,110 @@ def test_spherify_end_to_end_train_smoke(tmp_path):
     )
     assert not cfg.ndc  # llff + no_ndc
     result = train(cfg, scene=scene)
+    assert len(result.history) == 2
+    assert all(np.isfinite(l) for _, l, _ in result.history)
+
+
+def _tiny_dv_tree(tmp_path, res=64):
+    """A small on-disk DeepVoxels-layout scene (hemisphere poses, random
+    images). res < 512 works because the pngs carry their own size; the
+    LOADER still reports H = W = 512 (hardcoded, like the reference's
+    load_deepvoxels.py) — callers that train must use res=512 or accept the
+    mismatch. For train smokes we write real 512 images but few of them."""
+    import imageio.v2 as imageio
+
+    from nerf_tpu.geom.poses import pose_spherical
+
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    rng = np.random.default_rng(5)
+    for split, n in [("train", 3), ("validation", 2), ("test", 2)]:
+        base = tmp_path / split / "greek"
+        os.makedirs(base / "pose", exist_ok=True)
+        os.makedirs(base / "rgb", exist_ok=True)
+        if split == "train":
+            (base / "intrinsics.txt").write_text(
+                "280.0 256.0 256.0\n0 0 0\n0.8\n1.0\n512 512\n0\n"
+            )
+        for i in range(n):
+            pose = np.asarray(
+                pose_spherical(rng.uniform(-180, 180), rng.uniform(-80, -10), 2.5)
+            )
+            (base / "pose" / f"{i:03d}.txt").write_text(
+                " ".join(str(x) for x in (pose @ flip).reshape(-1))
+            )
+            imageio.imwrite(
+                str(base / "rgb" / f"{i:03d}.png"),
+                rng.integers(0, 255, (res, res, 3), dtype=np.uint8),
+            )
+
+
+def test_deepvoxels_end_to_end_train_smoke(tmp_path):
+    """VERDICT r4 #2 (test half): drive the FULL train() through
+    dataset_type=deepvoxels — hemisphere near/far policy (ref
+    run_nerf.py:602-604), pose flip, testskip, and the batched sampler all
+    exercised via load_scene dispatch, not a hand-built Scene."""
+    from nerf_tpu.config import NeRFConfig
+    from nerf_tpu.train.loop import train
+
+    _tiny_dv_tree(tmp_path, res=512)
+    cfg = NeRFConfig(
+        expname="dv_smoke", basedir=str(tmp_path / "logs"),
+        dataset_type="deepvoxels", shape="greek", datadir=str(tmp_path),
+        testskip=1, netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+        multires=2, multires_views=1, use_viewdirs=True, white_bkgd=True,
+        N_rand=32, N_samples=8, N_importance=8,
+        i_print=5, i_img=0, i_weights=0, i_testset=0, i_video=0,
+        n_iters=10, compute_dtype="float32", data_axis=1, donate_state=False,
+    )
+    result = train(cfg)  # scene comes from load_scene (the dispatch itself)
+    assert len(result.history) == 2
+    assert all(np.isfinite(l) for _, l, _ in result.history)
+    # hemisphere policy: radius 2.5 -> near/far (1.5, 3.5) went through
+    from nerf_tpu.train.loop import load_scene
+
+    s = load_scene(cfg)
+    assert abs(s.near - 1.5) < 1e-5 and abs(s.far - 3.5) < 1e-5
+
+
+def test_linemod_end_to_end_train_smoke(tmp_path):
+    """VERDICT r4 #2 (test half), LINEMOD: full train() through
+    dataset_type=LINEMOD — json intrinsic_matrix K, json near/far
+    floor/ceil (ref load_LINEMOD.py:80-85), via load_scene dispatch."""
+    import imageio.v2 as imageio
+    import json as _json
+
+    from nerf_tpu.config import NeRFConfig
+    from nerf_tpu.train.loop import train
+
+    rng = np.random.default_rng(0)
+    K = [[35.0, 0, 16], [0, 35.0, 16], [0, 0, 1]]
+    for split, n in [("train", 3), ("val", 2), ("test", 2)]:
+        frames = []
+        os.makedirs(tmp_path / split, exist_ok=True)
+        for i in range(n):
+            rel = f"./{split}/r_{i}.png"
+            imageio.imwrite(
+                str(tmp_path / split / f"r_{i}.png"),
+                rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+            )
+            pose = np.asarray(np.eye(4))
+            pose[2, 3] = 4.0
+            frames.append({
+                "file_path": rel, "transform_matrix": pose.tolist(),
+                "intrinsic_matrix": K,
+            })
+        meta = {"frames": frames, "near": 1.2, "far": 6.8}
+        (tmp_path / f"transforms_{split}.json").write_text(_json.dumps(meta))
+
+    cfg = NeRFConfig(
+        expname="linemod_smoke", basedir=str(tmp_path / "logs"),
+        dataset_type="LINEMOD", datadir=str(tmp_path), testskip=1,
+        netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+        multires=2, multires_views=1, use_viewdirs=True,
+        N_rand=32, N_samples=8, N_importance=8,
+        i_print=5, i_img=0, i_weights=0, i_testset=0, i_video=0,
+        n_iters=10, compute_dtype="float32", data_axis=1, donate_state=False,
+    )
+    result = train(cfg)
     assert len(result.history) == 2
     assert all(np.isfinite(l) for _, l, _ in result.history)
