@@ -47,7 +47,7 @@ def main(argv=None):
     from nerf_tpu.models.factory import init_model_params, make_model
     from nerf_tpu.parallel import distributed
     from nerf_tpu.parallel.multi_scene import (
-        init_multi_scene_state, make_multi_scene_step,
+        StackedImageSampler, init_multi_scene_state, make_multi_scene_step,
         make_sharded_multi_scene_step, shard_scene_axis, unstack_states,
     )
     from nerf_tpu.train.loop import load_scene, render_settings_from_config
@@ -111,10 +111,24 @@ def main(argv=None):
             model, rs, c0.lrate, c0.lrate_decay, donate=c0.donate_state
         )
 
-    samplers = [
-        make_sampler(s, c, k)
-        for s, c, k in zip(scenes, cfgs, jax.random.split(k_sample, S))
-    ]
+    # homogeneous no_batching scenes: ONE vmapped sampler program for all S
+    # scenes (one dispatch/step instead of S; draws identical to the
+    # per-scene samplers — parallel/multi_scene.py StackedImageSampler)
+    stacked = None
+    scene_keys = jax.random.split(k_sample, S)
+    if c0.no_batching and all(
+        (s.H, s.W) == (scenes[0].H, scenes[0].W)
+        and len(s.i_train) == len(scenes[0].i_train)
+        for s in scenes
+    ):
+        stacked = StackedImageSampler(
+            scenes, c0.N_rand, scene_keys, c0.precrop_iters, c0.precrop_frac
+        )
+        samplers = None
+    else:
+        samplers = [
+            make_sampler(s, c, k) for s, c, k in zip(scenes, cfgs, scene_keys)
+        ]
     bounds = [(0.0, 1.0) if rs.ndc else (s.near, s.far) for s in scenes]
     near = jnp.stack(
         [jnp.full((c0.N_rand,), b[0], jnp.float32) for b in bounds], 0
@@ -131,11 +145,14 @@ def main(argv=None):
     t0 = time.time()
     history = []
     for i in range(1, c0.n_iters + 1):
-        batches = [
-            smp.next_batch(i) if c.no_batching else smp.next_batch()
-            for smp, c in zip(samplers, cfgs)
-        ]
-        ro, rd, tgt = (jnp.stack(x, 0) for x in zip(*batches))
+        if stacked is not None:
+            ro, rd, tgt = stacked.next_batch(i)
+        else:
+            batches = [
+                smp.next_batch(i) if c.no_batching else smp.next_batch()
+                for smp, c in zip(samplers, cfgs)
+            ]
+            ro, rd, tgt = (jnp.stack(x, 0) for x in zip(*batches))
         if mesh is not None:
             ro, rd, tgt = (shard_scene_axis(mesh, x) for x in (ro, rd, tgt))
         if hwf_stack is not None:

@@ -121,43 +121,105 @@ class BatchedRaySampler:
     # --- fused multi-step scan support (train/loop.py fuse_steps) ---
 
     def scan_supported(self) -> bool:
-        return not self._multiproc
+        return True
+
+    def scan_per_step_sharding(self, mesh):
+        """Sharding of the per_step scan operand over the mesh: replicated
+        index windows single-process; globally assembled [k, n_rand, ...]
+        ray batches (batch axis over 'data') in a multi-process run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if not self._multiproc:
+            return None
+        return NamedSharding(mesh, P(None, "data"))
 
     def max_chunk(self) -> int:
-        """Whole batches left before the epoch wrap (host-side bookkeeping
-        the fused scan cannot do)."""
-        return (self.perm.shape[0] - self.i_batch) // self.n_rand
+        """Chunks may span epoch wraps (the window builder reproduces the
+        tail-concat + reshuffle host-side), so the driver needs no cap."""
+        return 1 << 30
+
+    def _window(self, k: int):
+        """The next k*n_rand permutation indices, crossing epoch wraps
+        exactly as k next_batch() calls would (ensure_epoch's tail-concat +
+        reshuffle, same key-split order). Returns (idx [k*n_rand], staged
+        (perm, i_batch, key)) — state commits in advance(k)."""
+        perm, i_batch, key = self.perm, self.i_batch, self.key
+        cat = np.concatenate if self._multiproc else jnp.concatenate
+        out, need = [], k
+        while need:
+            take = min(need, (perm.shape[0] - i_batch) // self.n_rand)
+            if take:
+                out.append(perm[i_batch : i_batch + take * self.n_rand])
+                i_batch += take * self.n_rand
+                need -= take
+            if need:
+                tail = perm[i_batch:]
+                key, sub = jax.random.split(key)
+                newp = jax.random.permutation(sub, self.n_total)
+                if self._multiproc:
+                    newp = np.asarray(newp)
+                perm = cat([tail, newp])
+                i_batch = 0
+        idx = out[0] if len(out) == 1 else cat(out)
+        return idx, (perm, i_batch, key)
 
     def scan_fn(self, step0: int):
         """Stable (memoized, so the driver's jit cache hits) pure sampler
-        body: batch = fn(args, idx). The buffer rides as an ARGUMENT —
+        body: batch = fn(args, op). Single-process, op is the step's
+        [n_rand] permutation window and the buffer rides as an ARGUMENT —
         closing over it would bake a multi-hundred-MB constant into the
-        jaxpr."""
+        jaxpr. Multi-process, the gather already happened host-side
+        (scan_operands) and op IS the (ro, rd, rgb) batch."""
         if not hasattr(self, "_scan_fn"):
+            if self._multiproc:
 
-            def sample_fn(args, idx):
-                (buffer,) = args
-                batch = buffer[idx]  # [n_rand, 3, 3]
-                return batch[:, 0], batch[:, 1], batch[:, 2]
+                def sample_fn(args, op):
+                    return op
+
+            else:
+
+                def sample_fn(args, idx):
+                    (buffer,) = args
+                    batch = buffer[idx]  # [n_rand, 3, 3]
+                    return batch[:, 0], batch[:, 1], batch[:, 2]
 
             self._scan_fn = sample_fn
         return self._scan_fn
 
     def scan_operands(self, step0: int, k: int):
-        """(args, per_step) for a k-step chunk: per_step is the
-        [k, n_rand] window of permutation indices the k next_batch() calls
-        would gather. Slicing the window OUTSIDE the fused program keeps its
-        operand shapes fixed — the epoch-wrap concat changes len(perm) when
-        n_total % n_rand != 0, and passing perm itself would recompile the
-        whole fused train program once per epoch. Caller advances host state
-        with advance(k); chunks must not cross the epoch wrap (driver caps
-        at max_chunk())."""
-        idx = self.perm[self.i_batch : self.i_batch + k * self.n_rand]
+        """(args, per_step) for a k-step chunk — per_step carries what the k
+        next_batch() calls would produce. Slicing the window OUTSIDE the
+        fused program keeps its operand shapes fixed ([k, n_rand] always):
+        epoch wraps — whose tail-concat changes len(perm) — happen inside
+        the host-side window builder (_window), never in the program.
+        Caller commits host state with advance(k).
+
+        Multi-process: every host gathers ONLY its host_shard_slice of each
+        step's window from its host-resident buffer and the k-step shards
+        assemble into ONE global [k, n_rand, ...] 'data'-sharded array
+        (jax.make_array_from_process_local_data) — the same per-host feed
+        as next_batch, amortized over the chunk."""
+        idx, self._staged = self._window(k)
+        if self._multiproc:
+            from jax.sharding import PartitionSpec as P
+
+            from nerf_tpu.parallel.distributed import global_batch_from_host_shards
+
+            sl = self._host_sl
+            idx = np.asarray(idx).reshape(k, self.n_rand)[:, sl.start : sl.stop]
+            batch = self.buffer[idx]  # [k, n_rand/n_hosts, 3, 3]
+            per_step = global_batch_from_host_shards(
+                self._mesh,
+                (batch[:, :, 0], batch[:, :, 1], batch[:, :, 2]),
+                spec=P(None, "data"),
+            )
+            return (), per_step
         idx = jnp.asarray(idx, jnp.int32).reshape(k, self.n_rand)
         return (self.buffer,), idx
 
     def advance(self, k: int):
-        self.i_batch += k * self.n_rand
+        # commit the state _window staged (incl. any epoch wraps it crossed)
+        self.perm, self.i_batch, self.key = self._staged
 
     def next_batch(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         self.ensure_epoch()
@@ -278,7 +340,15 @@ class ImageRaySampler:
     # --- fused multi-step scan support (train/loop.py fuse_steps) ---
 
     def scan_supported(self) -> bool:
-        return not self._multiproc
+        return True
+
+    def scan_per_step_sharding(self, mesh):
+        """See BatchedRaySampler.scan_per_step_sharding."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if not self._multiproc:
+            return None
+        return NamedSharding(mesh, P(None, "data"))
 
     def ensure_epoch(self):
         pass  # no epoch state
@@ -289,7 +359,13 @@ class ImageRaySampler:
     def scan_fn(self, step0: int):
         """Stable per-crop-phase sampler body (memoized so the driver's jit
         cache hits): batch = fn(args, sub). The crop is chunk-static, so the
-        driver never lets a chunk cross the precrop boundary."""
+        driver never lets a chunk cross the precrop boundary. Multi-process,
+        the draws already happened host-side (scan_operands) and the
+        per-step operand IS the (ro, rd, target) batch."""
+        if self._multiproc:
+            if not hasattr(self, "_scan_fn_mp"):
+                self._scan_fn_mp = lambda args, op: op
+            return self._scan_fn_mp
         crop = self._crop if step0 < self.precrop_iters else self._full
         if not hasattr(self, "_scan_fns"):
             self._scan_fns = {}
@@ -305,14 +381,54 @@ class ImageRaySampler:
             self._scan_fns[crop] = sample_fn
         return self._scan_fns[crop]
 
+    def _vmapped_sampler(self, crop):
+        """jit(vmap) of the per-step sampler over a [k] key axis, memoized
+        per crop phase (multi-process scan_operands helper)."""
+        if not hasattr(self, "_vfns"):
+            self._vfns = {}
+        if crop not in self._vfns:
+            H, W, n_rand = self.H, self.W, self.n_rand
+
+            def batch_k(images, poses, i_train, K, subs):
+                return jax.vmap(
+                    lambda s: _sample_image_rays(
+                        images, poses, i_train, K, H, W, n_rand, crop, s
+                    )
+                )(subs)
+
+            self._vfns[crop] = jax.jit(batch_k)
+        return self._vfns[crop]
+
     def scan_operands(self, step0: int, k: int):
         """(args, per_step): the key draws are the exact split chain the
         per-step path would make (chain_split). The advanced key is only
         STAGED here; advance(k) commits it — symmetric with
         BatchedRaySampler, whose host state also moves only in advance(),
         so a failed/skipped fused chunk cannot desync the host key from the
-        executed trajectory."""
+        executed trajectory.
+
+        Multi-process: every host runs the (tiny) k-step sampling program on
+        its own devices with the same keys — identical draws everywhere —
+        then contributes its host_shard_slice of each step's batch to ONE
+        global [k, n_rand, ...] 'data'-sharded array, exactly the per-step
+        next_batch feed amortized over the chunk."""
         self._staged_key, subs = chain_split(self.key, k)
+        if self._multiproc:
+            from jax.sharding import PartitionSpec as P
+
+            from nerf_tpu.parallel.distributed import global_batch_from_host_shards
+
+            crop = self._crop if step0 < self.precrop_iters else self._full
+            outs = self._vmapped_sampler(crop)(
+                self.images, self.poses, self.i_train, self.K, subs
+            )
+            sl = self._host_sl
+            per_step = global_batch_from_host_shards(
+                self._mesh,
+                tuple(np.asarray(o)[:, sl.start : sl.stop] for o in outs),
+                spec=P(None, "data"),
+            )
+            return (), per_step
         return (self.images, self.poses, self.i_train, self.K), subs
 
     def advance(self, k: int):

@@ -80,15 +80,16 @@ def host_shard_slice(n_total: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
-def global_batch_from_host_shards(mesh, host_arrays):
+def global_batch_from_host_shards(mesh, host_arrays, spec=None):
     """Assemble per-host numpy shards into global arrays sharded over 'data'.
 
     host_arrays: tuple of numpy arrays, each this host's [N_rand/n_hosts, ...]
-    shard. Returns jax Arrays with global shape [N_rand, ...].
-    """
+    shard. Returns jax Arrays with global shape [N_rand, ...]. ``spec``
+    overrides the default P('data') partitioning (e.g. P(None, 'data') for
+    [k, N_rand, ...] fused-chunk operands whose batch axis is second)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sh = NamedSharding(mesh, P("data"))
+    sh = NamedSharding(mesh, P("data") if spec is None else spec)
     out = tuple(
         jax.make_array_from_process_local_data(sh, np.asarray(a)) for a in host_arrays
     )

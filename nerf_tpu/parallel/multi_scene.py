@@ -11,6 +11,7 @@ larger MXU work (S small matmuls become one [S, ...] batched matmul).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict
 
 import jax
@@ -99,3 +100,59 @@ def shard_scene_axis(mesh, tree):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return jax.device_put(tree, NamedSharding(mesh, P("data")))
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _stacked_sample(images, poses, i_train, K, keys, H, W, n_rand, crop):
+    from nerf_tpu.data.rays_dataset import _sample_image_rays
+
+    def one(img, pose, itr, Kk, key):
+        key2, sub = jax.random.split(key)
+        ro, rd, tgt = _sample_image_rays(
+            img, pose, itr, Kk, H, W, n_rand, crop, sub
+        )
+        return key2, ro, rd, tgt
+
+    return jax.vmap(one)(images, poses, i_train, K, keys)
+
+
+class StackedImageSampler:
+    """S homogeneous scenes' policy-(b) samplers as ONE vmapped program.
+
+    The per-scene sampler list costs S host dispatches per step (plus a
+    host-side stack); on a remote-dispatch platform (~0.5 ms floor each,
+    docs/PERF.md) that dominates once S grows. Stacking the scene tensors
+    and vmapping the SAME per-step sampling body gives one dispatch per
+    step and bit-identical draws: the vmapped ``jax.random.split`` advances
+    each scene's key exactly as its standalone ImageRaySampler would.
+
+    Requires every scene to share (H, W, n_train images) — the sweep/CLI
+    fall back to per-scene samplers otherwise.
+    """
+
+    def __init__(self, scenes, n_rand: int, keys, precrop_iters: int = 0,
+                 precrop_frac: float = 0.5):
+        s0 = scenes[0]
+        for s in scenes[1:]:
+            if (s.H, s.W) != (s0.H, s0.W) or len(s.i_train) != len(s0.i_train):
+                raise ValueError("StackedImageSampler needs homogeneous scenes")
+        self.H, self.W, self.n_rand = s0.H, s0.W, n_rand
+        self.precrop_iters = precrop_iters
+        self.images = jnp.stack([jnp.asarray(s.images) for s in scenes])
+        self.poses = jnp.stack([jnp.asarray(s.poses) for s in scenes])
+        self.i_train = jnp.stack([jnp.asarray(s.i_train) for s in scenes])
+        self.K = jnp.stack([jnp.asarray(s.K) for s in scenes])
+        self.keys = jnp.stack(list(keys))  # [S] — same keys train_multi splits
+        dH = int(self.H // 2 * precrop_frac)
+        dW = int(self.W // 2 * precrop_frac)
+        self._crop = (self.H // 2 - dH, self.W // 2 - dW, 2 * dH, 2 * dW)
+        self._full = (0, 0, self.H, self.W)
+
+    def next_batch(self, step: int):
+        """-> (ro, rd, target), each [S, n_rand, ...]."""
+        crop = self._crop if step < self.precrop_iters else self._full
+        self.keys, ro, rd, tgt = _stacked_sample(
+            self.images, self.poses, self.i_train, self.K, self.keys,
+            self.H, self.W, self.n_rand, crop,
+        )
+        return ro, rd, tgt

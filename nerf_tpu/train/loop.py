@@ -316,7 +316,11 @@ def train(
     fuse = max(1, int(getattr(cfg, "fuse_steps", 1)))
     can_fuse = (
         fuse > 1
-        and jax.process_count() == 1
+        # multi-process runs fuse through the mesh path: the samplers'
+        # multiproc branches assemble [k, n_rand, ...] global chunk operands
+        # (scan_operands), so the one-dispatch-per-chunk amortization — which
+        # matters MORE on a pod, where per-chip DP batches shrink — applies
+        and (jax.process_count() == 1 or mesh is not None)
         and not cfg.trace
         and "on_step" not in hooks
         and sampler.scan_supported()
@@ -333,16 +337,17 @@ def train(
                 hwf=(scene.H, scene.W, scene.focal),
             )
         else:
-            # mesh mode: scan the shard_map step body. The sampler computes
-            # replicated (tiny); the shard_map's P('data') in_specs slice the
-            # batch per device. Per-chip DP batches are small, so the
-            # dispatch amortization matters MORE on a pod than single-chip.
+            # mesh mode: scan the shard_map step body. Single-process the
+            # sampler computes replicated (tiny) and the shard_map's
+            # P('data') in_specs slice the batch per device; multi-process
+            # the per_step chunk operand arrives pre-sharded [k, 'data'].
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             raw_step = raw_mesh_step
             rep = NamedSharding(mesh, P())
+            per_step_sh = sampler.scan_per_step_sharding(mesh) or rep
             jit_kwargs.update(
-                in_shardings=(rep, rep, rep, batch_sh, batch_sh, rep),
+                in_shardings=(rep, rep, per_step_sh, batch_sh, batch_sh, rep),
                 out_shardings=(rep, rep),
             )
         _runners = {}
@@ -374,10 +379,13 @@ def train(
         fuse = min(cadences)
         can_fuse = fuse > 1
 
-    _fuse_warned = []
-
     def chunk_for(i: int) -> int:
-        """Steps the fused program may run starting at i (>= 1 always)."""
+        """Steps the fused program may run starting at i (>= 1 always).
+        Bounded only by cadence events and the precrop boundary — the
+        samplers' scan windows span epoch wraps themselves
+        (BatchedRaySampler._window reproduces the tail-concat + reshuffle),
+        so epoch tails no longer fall back to the per-step path (which
+        would compile a second program mid-run)."""
         j = cfg.n_iters
         for c in cadences:
             j = min(j, -(-i // c) * c)  # first multiple of c that is >= i
@@ -387,18 +395,7 @@ def train(
             # must end at precrop_iters - 1 — the LAST cropped step
             j = min(j, sampler.precrop_iters - 1)
         sampler.ensure_epoch()
-        k = min(j - i + 1, sampler.max_chunk())
-        if k < fuse and sampler.max_chunk() < fuse and not _fuse_warned:
-            # a scene with < fuse*N_rand rays can never fill a chunk
-            # (BatchedRaySampler.max_chunk is bounded by the epoch size) —
-            # fall back to the per-step path and say so once
-            _fuse_warned.append(True)
-            if is_main:
-                print(
-                    f"[FUSE] scene epoch holds {sampler.max_chunk()} whole "
-                    f"batches < fuse_steps={fuse}; running per-step"
-                )
-        return max(k, 1)
+        return max(min(j - i + 1, sampler.max_chunk()), 1)
 
     _rng_box = []
 
@@ -420,31 +417,34 @@ def train(
     # Printed/recorded values are identical, printed one interval late; the
     # loop tail and eval boundaries drain the queue.
     #
-    # Rates are cumulative between value-fetch fences: the anchor is set at
-    # the FIRST flush after each epoch event (loop start / eval render), a
-    # clean "device has finished >= p_cum steps" point past any compile;
-    # every later flush reports (p_cum - anchor_cum) / (fence - anchor
-    # fence). Both endpoints are value-ready events for known step counts,
-    # so the rate can never overstate device throughput (host run-ahead and
-    # queue-drain ambiguity inflate per-interval windows on this remote
-    # platform — measured: single-interval anchoring printed 2x-40x
-    # artifacts around eval boundaries), and it converges to the steady
-    # rate within a few intervals.
+    # Rates are cumulative from the last DRAIN point — a wall-clock moment
+    # at which the device had executed exactly _cum steps (nothing
+    # outstanding): after an eval render (its own value fetch drained the
+    # in-order queue) or a deliberate fresh-value fetch at the first print
+    # of the run. A deferred fetch of an OLD aux is only a lower-bound
+    # event (the device may already be far ahead), so anchoring there
+    # overstated rates up to ~1.5x (measured on the dv run); a drain point
+    # is exact. From a drain anchor, (p_cum - anchor_cum)/(fence - anchor)
+    # can never overstate: the numerator's steps all finished before the
+    # fence, and the anchor wall is not early.
     _pending_print = []  # [(step index, aux refs, cumulative step count)]
     _cum = [0]  # steps dispatched since loop start
-    _anchor = [None, None]  # (wall, cum) at the epoch's first fence
+    _anchor = [None, None]  # (wall, cum) at the last drain point
 
-    def _reset_anchor():
-        _anchor[:] = [None, None]  # re-warm at the next flush
+    def _anchor_at_drain():
+        """Call ONLY when the device queue is known drained."""
+        _anchor[:] = [time.perf_counter(), _cum[0]]
 
     def _flush_print():
         step_i, p_aux, p_cum = _pending_print.pop()
         loss = float(p_aux["loss"])  # fence: >= p_cum steps now finished
         psnr = float(p_aux["psnr"])
         now = time.perf_counter()
-        if _anchor[0] is None:
-            _anchor[:] = [now, p_cum]
+        if _anchor[0] is None or p_cum <= _anchor[1]:
             rate = "warmup"
+            if p_cum == _cum[0]:
+                # fetched the freshest dispatched step: queue drained
+                _anchor[:] = [now, p_cum]
         else:
             rep = timer.report(
                 steps=p_cum - _anchor[1], elapsed=now - _anchor[0]
@@ -503,16 +503,22 @@ def train(
                     jax.block_until_ready(aux["loss"])
                 timer.step(4)
                 _cum[0] += 4
-                _reset_anchor()
+                _anchor_at_drain()  # block_until_ready above drained
                 print(f"[TRACE] profile written to {expdir}/trace")
 
             if i % cfg.i_print == 0:
                 # flush FIRST: float() on the previous interval's aux is the
                 # only device sync — normally instant (that work finished an
-                # interval ago); it doubles as the rate anchor (_flush_print)
+                # interval ago)
                 if _pending_print:
                     _flush_print()
                 _pending_print.append((i, aux, _cum[0]))
+                if _anchor[0] is None:
+                    # no drain anchor yet (first print of the run): fetch
+                    # the freshest value NOW — one deliberate pipeline
+                    # drain, right after compile where it costs nothing —
+                    # so later windows measure from an exact device state
+                    _flush_print()
             if _pending_print and (
                 (cfg.i_img > 0 and i % cfg.i_img == 0)
                 or (cfg.i_weights > 0 and i % cfg.i_weights == 0)
@@ -570,7 +576,10 @@ def train(
                 or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
                 or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
             ):
-                _reset_anchor()  # don't count eval renders as train throughput
+                # the eval's own value fetches drained the in-order queue:
+                # an exact (wall, cum) anchor, excluding eval render time
+                # from the train-throughput windows
+                _anchor_at_drain()
             if "on_step" in hooks:
                 hooks["on_step"](i, state, aux)
             i += 1

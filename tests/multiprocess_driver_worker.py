@@ -50,6 +50,15 @@ def main():
         cfg = driver_config(policy, os.path.join(outdir, f"run_{policy}"))
         result = train(cfg, scene=scene)
         out[policy] = result.history
+        # fused multi-step scan under the 2-process group (VERDICT r4 #4):
+        # the samplers' multiproc scan_operands assemble [k, n_rand, ...]
+        # global chunk operands; trajectory must match the per-step run
+        cfg5 = dataclasses.replace(
+            cfg, fuse_steps=5,
+            basedir=os.path.join(outdir, f"run_{policy}_fuse5"),
+        )
+        result5 = train(cfg5, scene=scene)
+        out[policy + "_fuse5"] = result5.history
     with open(os.path.join(outdir, f"driver_result_{pid}.json"), "w") as f:
         json.dump(out, f)
     print(f"driver worker {pid}: ok", flush=True)

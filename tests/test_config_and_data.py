@@ -14,7 +14,9 @@ REF_CONFIGS = "/root/reference/configs"
 
 
 def test_shipped_presets_parse():
-    names = sorted(os.listdir(REPO_CONFIGS))
+    names = sorted(
+        n for n in os.listdir(REPO_CONFIGS) if n.endswith(".txt")
+    )  # configs/multi/ (sweep variants) are tested via the sweep itself
     # the reference's 16 + synth/synthff/synth_dv benchmark scenes
     assert len(names) == 19
     for n in names:

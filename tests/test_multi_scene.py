@@ -200,3 +200,31 @@ def test_multi_scene_ndc_matches_individual():
             n_diff += (~close).sum()
             n_total += a.size
         assert n_diff / n_total < 0.05, f"{n_diff}/{n_total} params differ"
+
+
+def test_stacked_sampler_matches_per_scene_samplers(tmp_path):
+    """StackedImageSampler (one vmapped program for S scenes' policy-(b)
+    sampling — the train_multi fast path) draws bit-identically to S
+    standalone ImageRaySamplers built from the same keys, across the
+    precrop boundary."""
+    from nerf_tpu.data.rays_dataset import ImageRaySampler
+    from nerf_tpu.parallel.multi_scene import StackedImageSampler
+    from tests.synthetic_scene import make_scene
+
+    scenes = [make_scene(n_train=3, n_test=1, H=16, W=16, seed=s) for s in (0, 1)]
+    keys = jax.random.split(jax.random.key(9), 2)
+    n_rand, precrop = 24, 3
+    solo = [
+        ImageRaySampler(s, n_rand, k, precrop_iters=precrop, precrop_frac=0.5)
+        for s, k in zip(scenes, keys)
+    ]
+    stacked = StackedImageSampler(
+        scenes, n_rand, keys, precrop_iters=precrop, precrop_frac=0.5
+    )
+    for step in range(1, 6):  # crosses the precrop boundary at step 3
+        ro_s, rd_s, t_s = stacked.next_batch(step)
+        for k, smp in enumerate(solo):
+            ro, rd, tgt = smp.next_batch(step)
+            np.testing.assert_array_equal(np.asarray(ro_s[k]), np.asarray(ro))
+            np.testing.assert_array_equal(np.asarray(rd_s[k]), np.asarray(rd))
+            np.testing.assert_array_equal(np.asarray(t_s[k]), np.asarray(tgt))

@@ -261,6 +261,24 @@ def test_driver_two_process_matches_single_process(
     np.testing.assert_allclose(h0, h_single, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("policy", ["batched", "image"])
+def test_driver_two_process_fused_matches_per_step(driver_results, policy):
+    """VERDICT r4 #4: fuse_steps > 1 under a REAL 2-process group — the
+    samplers' multiproc branches assemble whole [k, n_rand, ...] chunk
+    operands via make_array_from_process_local_data and the scanned
+    shard_map step consumes per-step slices. The trajectory must equal the
+    2-process per-step run's (same draws, fp-reduction noise only)."""
+    results, _ = driver_results
+    h1 = np.asarray(results[0][policy])
+    h5 = np.asarray(results[0][policy + "_fuse5"])
+    assert h1.shape == h5.shape and h1.shape[0] >= 3
+    np.testing.assert_allclose(h1, h5, rtol=2e-5, atol=1e-6)
+    # replicated across processes too
+    np.testing.assert_allclose(
+        np.asarray(results[1][policy + "_fuse5"]), h5, rtol=1e-6
+    )
+
+
 def test_driver_collective_checkpoints_written(driver_results):
     """The in-loop i_weights saves ran collectively and produced restorable
     checkpoints for both policies."""
