@@ -44,7 +44,16 @@ def main():
         use_viewdirs=True,
     )
 
+    # the production driver runs sampler+step chunks as ONE dispatched
+    # lax.scan program (train/loop.py fuse_steps, default 50) — bench the
+    # same execution shape so per-step host dispatch (~0.5-0.9 ms on this
+    # remote platform) doesn't pollute the device measurement. The batch is
+    # constant (see "excludes"), so the scan carries only the train state.
+    FUSE = 10
+
     def build(n_rand, fused):
+        from nerf_tpu.train.step import make_train_step_fn
+
         model = NeRFModel(
             pe_pts=PosEncConfig(10),
             pe_views=PosEncConfig(4),
@@ -55,7 +64,17 @@ def main():
         )
         params = init_model_params(jax.random.key(0), model)
         state = init_train_state(params, 5e-4, 500)
-        step = make_train_step(model, rs, 5e-4, 500, donate=True)
+        raw_step = make_train_step_fn(model, rs, 5e-4, 500)
+
+        def run_chunk(state, ro, rd, nv, fv, tgt, key):
+            def body(s, _):
+                s, aux = raw_step(s, ro, rd, nv, fv, tgt, key)
+                return s, aux["loss"]
+
+            state, losses = jax.lax.scan(body, state, None, length=FUSE)
+            return state, {"loss": losses[-1]}
+
+        step = jax.jit(run_chunk, donate_argnums=(0,))
         rng = np.random.default_rng(0)
         batch = (
             jnp.asarray(rng.standard_normal((n_rand, 3)).astype(np.float32) * 0.1),
@@ -104,13 +123,14 @@ def main():
     # NOTE: on the remote-TPU (axon) platform block_until_ready can return
     # before the async queue drains — a host VALUE fetch is the reliable
     # fence (same convention as tools/bench_variants.py).
-    for _ in range(10):  # warmup / settle the dispatch queue
+    for _ in range(3):  # warmup chunks / settle the dispatch queue
         state, aux = step(state, *batch, key)
     float(aux["loss"])
 
-    n_steps = 100
+    n_calls = 10
+    n_steps = n_calls * 10  # FUSE steps per dispatched chunk
     t0 = time.time()
-    for _ in range(n_steps):
+    for _ in range(n_calls):
         state, aux = step(state, *batch, key)
     float(aux["loss"])
     # the loss fetch fences through the last step's forward only; the final
@@ -139,10 +159,13 @@ def main():
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
                 # honesty: the benched step includes fold_in + the pre-drawn
                 # RNG streams (draw_overrides) but reuses one synthetic batch,
-                # so the per-step sampler gather is excluded. The end-to-end
-                # number including the sampler is the convergence-run
-                # steady state (CONVERGENCE.md).
+                # so the per-step sampler gather is excluded; steps run as
+                # 10-step scan chunks like the production fused loop
+                # (train/loop.py fuse_steps). The end-to-end number including
+                # the sampler is the convergence-run steady state
+                # (CONVERGENCE.md).
                 "excludes": "per-step ray sampling (constant synthetic batch)",
+                "fuse_steps": 10,
             }
         ),
         flush=True,

@@ -51,12 +51,11 @@ from nerf_tpu.models.nerf_mlp import MLPConfig
 
 import os as _os
 
-# r4 sweep with the raygen/planes kernel structure (docs/PERF.md): 4096/2048
-# beats the old 1024/1024 by ~1.4% (33.6 vs 33.9-34.1 ms/step). At spr=192
-# this means 3072-point fwd tiles (fine bwd stays 1536); at spr=64 the
-# coarse bwd tile doubles to 2048, halving its accumulator flush count.
-# 4096/4096 regresses (VMEM pressure: 36.9 ms), 8192 fwd too (35.1).
-FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "4096"))
+# r5 sweep after the per-ray selector staging (_embed_pts_rays) lightened
+# the fwd fixed work: 2048/2048 (and its 1024/2048 twin — identical fine
+# geometry) wins at 32.1 ms/step vs 32.6 for the r4 default 4096/2048;
+# 8192/2048 33.3, 4096/4096 34.6 (VMEM pressure, as every round).
+FWD_TILE = int(_os.environ.get("NERF_TPU_FWD_TILE", "2048"))
 BWD_TILE = int(_os.environ.get("NERF_TPU_BWD_TILE", "2048"))
 # bf16 posenc trig (measured on v5e, docs/PERF.md):
 # - "poly" (default): selector matmul + ONE shared Cody-Waite range reduction
@@ -378,6 +377,42 @@ def _per_point_to_per_ray(x_pt, spr):
     return jnp.sum(x_pt.reshape(n // spr, spr, c), axis=1)
 
 
+def _embed_pts_rays(ro_blk, rd_blk, z_blk, em, spr, kp, dtype):
+    """Raygen-mode point embedding with the selector matmul staged PER RAY.
+
+    xb[(r,s), (f,d)] = x*2^f is computed as A_pt + B_pt*z_pt where
+    A = ro @ Sp and B = rd @ Sp are per-RAY [rpt, 3F] — the 6-pass
+    f32-HIGHEST selector matmul (docs/PERF.md: HIGH/bf16 lose phase
+    accuracy) then runs on rpt rows instead of rpt*spr (192x fewer rows at
+    the fine level), replaced per point by one VPU madd that hides under
+    the MXU. Bit-equal to scaling the materialized points: multiplying by a
+    power of two shifts the exponent only, so it commutes with f32 rounding
+    — fl(ro + fl(rd*z))*2^f == fl(ro*2^f + fl(rd*2^f * z)) at these
+    magnitudes (|xb| <= ~3100, no overflow/subnormals).
+
+    bf16 poly/selector modes only; f32 parity and the repeat/recurrence
+    experiment modes keep the exact materialized-x path.
+
+    Returns (e, s, c) like _embed_pts."""
+    z_pt = _col_from_plane(z_blk, em, spr)  # [T, 1]
+    ro_pt = _per_ray_to_per_point(ro_blk, spr)
+    rd_pt = _per_ray_to_per_point(rd_blk, spr)
+    x = ro_pt + rd_pt * z_pt
+    if dtype == jnp.float32 or TRIG_MODE not in ("poly", "selector"):
+        return _embed_pts(x, kp, dtype)
+    A = _dot(ro_blk, kp["Sp"])  # [rpt, 3F], exact power-of-two scaling
+    B = _dot(rd_blk, kp["Sp"])
+    xb = _per_ray_to_per_point(A, spr) + _per_ray_to_per_point(B, spr) * z_pt
+    if TRIG_MODE == "poly":
+        s, c = _poly_sincos(xb)
+    else:
+        s, c = jnp.sin(xb), jnp.cos(xb)
+    e = jnp.concatenate(
+        [x.astype(dtype), s.astype(dtype), c.astype(dtype)], axis=-1
+    )
+    return e, s, c
+
+
 def _trunk_forward(e, kp, dtype, keep_acts=False):
     acts = []
     width = kp["W05e"].shape[1] // 2
@@ -431,8 +466,9 @@ def _fwd_kernel_rays(dtype, width, spr, planes_io, *refs):
     *kp_refs, ro_ref, rd_ref, v_ref, z_ref, em_ref, out_ref = refs
     kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
     em = em_ref[...]
-    x = _points_from_rays(ro_ref[...], rd_ref[...], z_ref[...], em, spr)
-    e, _, _ = _embed_pts(x, kp, dtype)
+    e, _, _ = _embed_pts_rays(
+        ro_ref[...], rd_ref[...], z_ref[...], em, spr, kp, dtype
+    )
     ev, _, _ = _embed_views(v_ref[...], kp, dtype)
     h, _ = _trunk_forward(e, kp, dtype)
     out, _, _ = _head_forward(h, ev, kp, dtype, width, spr)
@@ -601,7 +637,6 @@ def _make_bwd_kernel_rays(dtype, width, n_freq_p, n_freq_v, spr, planes_io):
 
         kp = {name: r[...] for name, r in zip(_KP_ORDER, kp_refs)}
         em = em_ref[...]
-        x = _points_from_rays(ro_ref[...], rd_ref[...], z_ref[...], em, spr)
         if planes_io:
             g = jnp.concatenate(
                 [_col_from_plane(g_ref[c], em, spr) for c in range(4)], axis=-1
@@ -609,7 +644,9 @@ def _make_bwd_kernel_rays(dtype, width, n_freq_p, n_freq_v, spr, planes_io):
         else:
             g = g_ref[...]
 
-        e, sp, cp = _embed_pts(x, kp, dtype)
+        e, sp, cp = _embed_pts_rays(
+            ro_ref[...], rd_ref[...], z_ref[...], em, spr, kp, dtype
+        )
         ev, sv, cv = _embed_views(v_ref[...], kp, dtype)
         h7, acts = _trunk_forward(e, kp, dtype, keep_acts=True)
         acts = acts[:-1]

@@ -186,7 +186,31 @@ def make_train_step_core(
             None, overrides,
         )
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
+            # per-LEVEL collectives (one pmean per network), not one
+            # whole-tree pmean: a whole-tree pmean is combined by XLA into
+            # ONE tuple all-reduce that cannot start before the LAST
+            # gradient (SCALING_r04 NOTE). Split, the fine net's all-reduce
+            # depends only on the fine backward — which completes one full
+            # coarse-backward (~5.8 ms, docs/PERF.md) before the step ends —
+            # so the latency-hiding scheduler can overlap it with the
+            # coarse backward. The optimization barrier chains each later
+            # level's INPUT on the previous level's reduced OUTPUT; the
+            # all-reduce combiner cannot merge ops that depend on each
+            # other, so the split survives compilation (verified in the
+            # compiled HLO by tools/scaling_hlo.py). The barrier is an
+            # identity on values; the implied order (fine AR before coarse
+            # AR) is the order the overlap wants anyway.
+            order = [k for k in ("fine", "coarse") if k in grads]
+            order += [k for k in grads if k not in order]
+            reduced = {}
+            prev = None
+            for k in order:
+                gin = grads[k]
+                if prev is not None:
+                    gin, _ = jax.lax.optimization_barrier((gin, prev))
+                reduced[k] = jax.lax.pmean(gin, axis_name)
+                prev = reduced[k]
+            grads = {k: reduced[k] for k in grads}
             aux = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), aux)
             # PSNR is a log of the mse: recompute from the globally averaged
             # mse (pmean of per-shard psnr would NOT equal the global psnr)

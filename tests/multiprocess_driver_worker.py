@@ -59,6 +59,16 @@ def main():
         )
         result5 = train(cfg5, scene=scene)
         out[policy + "_fuse5"] = result5.history
+    # process-sharded eval rendering (VERDICT r4 #7): 2 test views over 2
+    # processes (one frame each), spiral video assembled by process 0 from
+    # the staged per-process frames
+    scene_eval = make_scene(n_train=4, n_test=2, H=20, W=20, seed=4)
+    cfg_eval = dataclasses.replace(
+        driver_config("batched", os.path.join(outdir, "run_eval")),
+        expname="driver_eval", i_testset=40, i_video=40, i_weights=0,
+    )
+    train(cfg_eval, scene=scene_eval)
+
     with open(os.path.join(outdir, f"driver_result_{pid}.json"), "w") as f:
         json.dump(out, f)
     print(f"driver worker {pid}: ok", flush=True)

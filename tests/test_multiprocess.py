@@ -290,3 +290,22 @@ def test_driver_collective_checkpoints_written(driver_results):
             os.path.join(outdir, f"run_{policy}"), f"driver_{policy}"
         )
         assert ckpts, f"no checkpoints for {policy}"
+
+
+def test_driver_multiprocess_eval_renders_sharded(driver_results):
+    """VERDICT r4 #7: eval frames shard over processes — BOTH test views
+    (one per process, global frame ids) landed as PNGs, the spiral mp4 was
+    assembled by process 0 from the staged per-process frames, and the
+    stage dirs were cleaned up."""
+    _, outdir = driver_results
+    expdir = os.path.join(outdir, "run_eval", "driver_eval")
+    testdir = os.path.join(expdir, "testset_000040")
+    assert os.path.exists(os.path.join(testdir, "000.png"))
+    assert os.path.exists(os.path.join(testdir, "001.png"))
+    vids = [
+        f for f in os.listdir(expdir)
+        if f.endswith("rgb.mp4") or f.endswith("rgb_frames")  # png fallback
+    ]
+    assert vids, os.listdir(expdir)
+    stages = [f for f in os.listdir(expdir) if f.startswith((".video", ".testset"))]
+    assert not stages, f"stage dirs not cleaned: {stages}"

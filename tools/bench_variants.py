@@ -40,10 +40,18 @@ def main():
     fused = "--unfused" not in sys.argv
     fused_render = "--fused-render" in sys.argv
 
+    def _intflag(name, default):
+        if name in sys.argv:
+            return int(sys.argv[sys.argv.index(name) + 1])
+        return default
+
+    n_samples = _intflag("--samples", 64)
+    n_importance = _intflag("--importance", 128)
+
     mcfg = MLPConfig(input_ch=63, input_ch_views=27, output_ch=5)
     rs = RenderSettings(
-        n_samples=64, n_importance=128, perturb=True, white_bkgd=True,
-        use_viewdirs=True,
+        n_samples=n_samples, n_importance=n_importance, perturb=True,
+        white_bkgd=True, use_viewdirs=True,
     )
     model = NeRFModel(
         pe_pts=PosEncConfig(10), pe_views=PosEncConfig(4),
@@ -89,7 +97,8 @@ def main():
     # report the values the kernel module actually resolved (defaults change)
     from nerf_tpu.ops.fused_mlp import BWD_TILE as bt, FWD_TILE as ft
     print(
-        f"{tag} N_rand={n_rand} FWD_TILE={ft} BWD_TILE={bt}: "
+        f"{tag} N_rand={n_rand} samples={n_samples}+{n_importance} "
+        f"FWD_TILE={ft} BWD_TILE={bt}: "
         f"{dt*1e3:.1f} ms/step, {n_rand/dt:,.0f} rays/s "
         f"(compile {compile_s:.1f}s, loss={float(aux['loss']):.4f})",
         flush=True,
