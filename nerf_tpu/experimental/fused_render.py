@@ -28,14 +28,16 @@ TPU-first design notes:
 Numerics: transmittance via exp∘sum∘log differs from the jnp cumprod at the
 last-ulp level (f32 HIGHEST matmuls); parity tests bound it at ~1e-5.
 
-STATUS (r4): built + parity-tested, NOT the production path. Measured slower
-than the split path in r3 (docs/PERF.md "fused_render adoption decision"),
-and round 4 removed its remaining rationale: the split path now also
-generates points in-kernel and composites shift-free on full-lane planes
-(fused_mlp raygen/planes + compositing matmul_scan), so the HBM traffic this
-kernel saves is already gone. Kept as the single-kernel building block for a
-future sample-sparse regime (large S per ray) where one launch per level
-could win again.
+STATUS (r5, 2026-08-21): RETIRED to experimental/. r3 measured it slower at
+the flagship shape (52.6 vs 48.3 ms/step); r4 removed its HBM rationale
+(the split path gained in-kernel raygen + planes IO); r5 closed the last
+open question — the hypothesized large-S win does not exist: at S=256+256,
+N_rand=1024 it measures 404.8 ms/step vs the split path's 25.1 (16x
+SLOWER — the in-kernel [T, R] selector-matmul flatten and per-channel
+compositing scale with S² per ray). Decision record: docs/PERF.md round 5.
+Kept compiling + parity-tested (tests/test_fused_render.py) as a reference
+implementation of single-kernel rays→maps; reachable via
+``--fused_render``.
 """
 
 from __future__ import annotations

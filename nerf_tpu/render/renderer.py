@@ -93,7 +93,9 @@ def render_rays(
         mlp_cfg = model.mlp_config(level)
 
         if model.fused_render and viewdirs is not None and not rs.retraw:
-            from nerf_tpu.ops import fused_render  # lazy: pallas import
+            # retired to experimental/ (r5): 16x slower than the split path
+            # at the large-S regime it was kept for (docs/PERF.md round 5)
+            from nerf_tpu.experimental import fused_render  # lazy: pallas import
 
             if fused_render.supports(mlp_cfg, model.pe_pts, model.pe_views,
                                      z.shape[-1]):
