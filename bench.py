@@ -128,7 +128,7 @@ def main():
     float(aux["loss"])
 
     n_calls = 10
-    n_steps = n_calls * 10  # FUSE steps per dispatched chunk
+    n_steps = n_calls * FUSE  # FUSE steps per dispatched chunk
     t0 = time.time()
     for _ in range(n_calls):
         state, aux = step(state, *batch, key)
@@ -165,7 +165,7 @@ def main():
                 # the sampler is the convergence-run steady state
                 # (CONVERGENCE.md).
                 "excludes": "per-step ray sampling (constant synthetic batch)",
-                "fuse_steps": 10,
+                "fuse_steps": FUSE,
             }
         ),
         flush=True,

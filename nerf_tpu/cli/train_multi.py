@@ -113,13 +113,23 @@ def main(argv=None):
 
     # homogeneous no_batching scenes: ONE vmapped sampler program for all S
     # scenes (one dispatch/step instead of S; draws identical to the
-    # per-scene samplers — parallel/multi_scene.py StackedImageSampler)
+    # per-scene samplers — parallel/multi_scene.py StackedImageSampler).
+    # Eligibility requires FULL tensor homogeneity (all splits' image
+    # stacks, poses) AND per-config agreement on the precrop schedule —
+    # the stacked program bakes c0's crop phases, and a scene with its own
+    # precrop_iters must keep its own sampler (docstring contract: every
+    # scene trains with ITS OWN config).
     stacked = None
     scene_keys = jax.random.split(k_sample, S)
     if c0.no_batching and all(
-        (s.H, s.W) == (scenes[0].H, scenes[0].W)
+        s.images.shape == scenes[0].images.shape
+        and s.poses.shape == scenes[0].poses.shape
         and len(s.i_train) == len(scenes[0].i_train)
         for s in scenes
+    ) and all(
+        c.precrop_iters == c0.precrop_iters
+        and c.precrop_frac == c0.precrop_frac
+        for c in cfgs
     ):
         stacked = StackedImageSampler(
             scenes, c0.N_rand, scene_keys, c0.precrop_iters, c0.precrop_frac

@@ -28,7 +28,7 @@ from nerf_tpu.render.renderer import RenderSettings, make_frame_renderer
 from nerf_tpu.train.step import TrainState, init_train_state, make_train_step
 from nerf_tpu.utils import checkpoint as ckpt_lib
 from nerf_tpu.utils.io import save_png, save_video
-from nerf_tpu.utils.metrics import img2mse, mse2psnr
+from nerf_tpu.utils.metrics import img2mse, mse2psnr, psnr_np
 from nerf_tpu.utils.profiler import StepTimer, mlp_flops_per_point, trace
 
 
@@ -121,8 +121,7 @@ def render_path(
         disps.append(np.asarray(out["disp_map"]))
         fid = frame_ids[i]
         if gt_imgs is not None and render_factor == 0:
-            p = -10.0 * np.log10(np.mean(np.square(rgb - np.asarray(gt_imgs[i]))))
-            psnrs.append(p)
+            psnrs.append(psnr_np(rgb, np.asarray(gt_imgs[i])))
         if savedir is not None:
             save_png(os.path.join(savedir, f"{fid:03d}.png"), rgb)
 
@@ -188,8 +187,7 @@ def render_path_multiprocess(
     )
     if gt_imgs is not None and len(ids):
         psnrs = [
-            -10.0 * np.log10(np.mean(np.square(r - np.asarray(gt_imgs[fid]))))
-            for r, fid in zip(rgbs, ids)
+            psnr_np(r, np.asarray(gt_imgs[fid])) for r, fid in zip(rgbs, ids)
         ]
         np.save(os.path.join(stage_dir, f"psnr_{pid}.npy"), np.asarray(psnrs))
     if video_base is not None:

@@ -16,3 +16,9 @@ def mse2psnr(mse: jnp.ndarray) -> jnp.ndarray:
 
 def to8b(x: np.ndarray) -> np.ndarray:
     return (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+
+def psnr_np(x: np.ndarray, y: np.ndarray) -> float:
+    """Host-side PSNR (same formula as img2mse+mse2psnr, no device
+    round-trip) — for eval pipelines whose frames are already fetched."""
+    return float(-10.0 * np.log10(np.mean(np.square(x - y))))

@@ -42,7 +42,8 @@ def main():
     argv = sys.argv[1:]
     n_iters = int(argv[argv.index("--n_iters") + 1]) if "--n_iters" in argv else 2000
     n_scenes = int(argv[argv.index("--scenes") + 1]) if "--scenes" in argv else 8
-    n_iters -= n_iters % FUSE
+    # one warmup chunk + at least one timed chunk
+    n_iters = max(2 * FUSE, n_iters - n_iters % FUSE)
     compile_cache.enable()
 
     cfgs = [
