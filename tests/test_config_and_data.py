@@ -17,8 +17,8 @@ def test_shipped_presets_parse():
     names = sorted(
         n for n in os.listdir(REPO_CONFIGS) if n.endswith(".txt")
     )  # configs/multi/ (sweep variants) are tested via the sweep itself
-    # the reference's 16 + synth/synthff/synth_dv benchmark scenes
-    assert len(names) == 19
+    # the reference's 16 + synth/synthff/synth_dv/synth_linemod benchmarks
+    assert len(names) == 20
     for n in names:
         cfg = load_config(["--config", os.path.join(REPO_CONFIGS, n)])
         assert cfg.N_rand == 1024
@@ -28,6 +28,9 @@ def test_shipped_presets_parse():
             assert not cfg.ndc
         elif cfg.dataset_type == "deepvoxels":
             assert cfg.shape == "greek_synth" and cfg.white_bkgd
+            assert not cfg.ndc
+        elif cfg.dataset_type == "LINEMOD":
+            assert cfg.white_bkgd and cfg.no_batching
             assert not cfg.ndc
         else:
             assert cfg.dataset_type == "llff"
