@@ -18,20 +18,53 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA's in-process CPU collectives ABORT the whole process when a rendezvous
+# participant is >40 s late (rendezvous.cc terminate timeout). On a small
+# host (2 cores here) running 8-device all-reduces while another program
+# compiles, participant threads genuinely get starved past that — observed
+# as a mid-suite "Fatal Python error: Aborted" in an unrelated test. Raise
+# the warn/terminate timeouts so starvation means "slow", never "abort".
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Synchronous dispatch on the virtual CPU mesh: with async dispatch, two
+# multi-device programs can be in flight at once, and their collective
+# participant tasks can interleave on the client's fixed-size Eigen pool so
+# that each program waits for a participant queued behind the other's blocked
+# ones — a permanent cross-program deadlock (observed mid-suite on a 2-core
+# host as 7-of-8 rendezvous arrivals, 0% CPU). One program in flight at a
+# time cannot exhaust the pool. CPU-only flag; the TPU path is unaffected.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 _REFERENCE = "/root/reference"
 if os.path.isdir(_REFERENCE) and _REFERENCE not in sys.path:
     sys.path.insert(0, _REFERENCE)
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _drain_device_queue():
+    """Block on all live arrays after each test: no test may leave in-flight
+    multi-device programs for the next one (part of the same deadlock class
+    as above — a leftover parallel program's collective participants share
+    the fixed Eigen pool with the next test's)."""
+    yield
+    try:
+        for a in jax.live_arrays():
+            a.block_until_ready()
+    except Exception:
+        pass  # deleted/donated buffers mid-iteration are fine
 
 
 @pytest.fixture(scope="session")

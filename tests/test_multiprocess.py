@@ -58,7 +58,17 @@ def driver_config(policy: str, basedir: str):
 def _mp_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # sync dispatch: see tests/conftest.py (CPU collective deadlock)
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        # raise the in-process CPU collective rendezvous timeouts:
+        # starved participant threads on a small host must mean
+        # "slow", never a process abort (see tests/conftest.py)
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
     env.pop("PYTEST_CURRENT_TEST", None)
     for var in list(env):
         if var.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
@@ -73,7 +83,17 @@ def worker_results(tmp_path_factory):
     script = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # sync dispatch: see tests/conftest.py (CPU collective deadlock)
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        # raise the in-process CPU collective rendezvous timeouts:
+        # starved participant threads on a small host must mean
+        # "slow", never a process abort (see tests/conftest.py)
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
     env.pop("PYTEST_CURRENT_TEST", None)
     # scrub the remote-TPU (axon) plugin hooks: its sitecustomize registers a
     # PJRT plugin in every interpreter, which breaks a CPU-only

@@ -43,6 +43,13 @@ def _tiny_cfg(tmp_path, **kw):
         compute_dtype="float32",
         fused_kernels=False,
         no_ndc=True,
+        # 4-wide mesh, not the full 8: an 8-participant collective uses the
+        # CPU client's ENTIRE 8-thread Eigen pool, and late in the suite
+        # that exact-fit rendezvous deadlocks inside XLA (observed: 7/8
+        # arrivals, 0% CPU, reproducible at this test only after ~100 prior
+        # tests). 4 participants leave pool slack. Full-8 driver coverage
+        # lives in test_parallel.py::test_full_train_loop_on_mesh_*.
+        data_axis=4,
     )
     base.update(kw)
     return NeRFConfig(**base)
@@ -220,3 +227,35 @@ def test_fused_scan_loop_matches_per_step_loop(tmp_path):
         h5 = np.asarray(histories[5])
         assert h1.shape == h5.shape and h1.shape[0] >= 3
         np.testing.assert_allclose(h1, h5, rtol=2e-5, atol=1e-6)
+
+
+def test_i_img_holdout_eval(tmp_path, capsys):
+    """Live i_img holdout eval (ref's i_img logging is dead code,
+    run_nerf.py:842-861; ours renders a val view): deterministic mode cycles
+    through i_val in order; i_img_random draws via np RNG like the
+    reference's np.random.choice (run_nerf.py:836-840) and stays in i_val."""
+    scene = make_scene(H=16, W=16, n_train=3, n_test=2)
+    val = set(int(v) for v in scene.i_val)
+
+    kw = dict(
+        N_rand=64, N_samples=8, N_importance=8,
+        netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+        n_iters=60, i_print=20, i_img=20, data_axis=1, fuse_steps=1,
+    )
+    train(_tiny_cfg(tmp_path / "cyc", **kw), scene=scene)
+    views = [
+        int(line.split("holdout view ")[1].split()[0])
+        for line in capsys.readouterr().out.splitlines()
+        if "[EVAL]" in line and "holdout view" in line
+    ]
+    ival = np.asarray(scene.i_val)
+    expect = [int(ival[(i // 20) % len(ival)]) for i in (20, 40, 60)]
+    assert views == expect, (views, expect)
+
+    train(_tiny_cfg(tmp_path / "rnd", i_img_random=True, seed=7, **kw), scene=scene)
+    views_r = [
+        int(line.split("holdout view ")[1].split()[0])
+        for line in capsys.readouterr().out.splitlines()
+        if "[EVAL]" in line and "holdout view" in line
+    ]
+    assert len(views_r) == 3 and all(v in val for v in views_r), views_r
