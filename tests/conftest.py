@@ -15,23 +15,18 @@ import sys
 # unit tests must run identically with or without TPU hardware attached.
 # The site may import jax before conftest runs (sitecustomize), so setting the
 # env var alone is not enough — update the live jax config too.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nerf_tpu.utils.host_mesh import with_collective_timeout_flags  # noqa: E402
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA's in-process CPU collectives ABORT the whole process when a rendezvous
-# participant is >40 s late (rendezvous.cc terminate timeout). On a small
-# host (2 cores here) running 8-device all-reduces while another program
-# compiles, participant threads genuinely get starved past that — observed
-# as a mid-suite "Fatal Python error: Aborted" in an unrelated test. Raise
-# the warn/terminate timeouts so starvation means "slow", never "abort".
-if "collective_call_terminate_timeout" not in _flags:
-    _flags += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-        " --xla_cpu_collective_timeout_seconds=1200"
-    )
-os.environ["XLA_FLAGS"] = _flags
+# Raised CPU-collective rendezvous timeouts: without them XLA ABORTS the
+# whole process when a participant is >40 s late — observed mid-suite on a
+# 2-core host as "Fatal Python error: Aborted" in an unrelated test (see
+# nerf_tpu/utils/host_mesh.py).
+os.environ["XLA_FLAGS"] = with_collective_timeout_flags(_flags)
 
 import jax  # noqa: E402
 
@@ -60,11 +55,11 @@ def _drain_device_queue():
     as above — a leftover parallel program's collective participants share
     the fixed Eigen pool with the next test's)."""
     yield
-    try:
-        for a in jax.live_arrays():
+    for a in jax.live_arrays():
+        try:
             a.block_until_ready()
-    except Exception:
-        pass  # deleted/donated buffers mid-iteration are fine
+        except Exception:
+            continue  # deleted/donated buffers are fine; drain the REST
 
 
 @pytest.fixture(scope="session")

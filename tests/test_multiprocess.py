@@ -22,6 +22,8 @@ import sys
 import numpy as np
 import pytest
 
+from nerf_tpu.utils.host_mesh import with_collective_timeout_flags
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -60,14 +62,9 @@ def _mp_env():
     env["JAX_PLATFORMS"] = "cpu"
     # sync dispatch: see tests/conftest.py (CPU collective deadlock)
     env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
-    env["XLA_FLAGS"] = (
+    # raised collective rendezvous timeouts (nerf_tpu/utils/host_mesh.py)
+    env["XLA_FLAGS"] = with_collective_timeout_flags(
         "--xla_force_host_platform_device_count=2"
-        # raise the in-process CPU collective rendezvous timeouts:
-        # starved participant threads on a small host must mean
-        # "slow", never a process abort (see tests/conftest.py)
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-        " --xla_cpu_collective_timeout_seconds=1200"
     )
     env.pop("PYTEST_CURRENT_TEST", None)
     for var in list(env):
@@ -81,26 +78,7 @@ def worker_results(tmp_path_factory):
     outdir = str(tmp_path_factory.mktemp("mp"))
     port = _free_port()
     script = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # sync dispatch: see tests/conftest.py (CPU collective deadlock)
-    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
-    env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=2"
-        # raise the in-process CPU collective rendezvous timeouts:
-        # starved participant threads on a small host must mean
-        # "slow", never a process abort (see tests/conftest.py)
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-        " --xla_cpu_collective_timeout_seconds=1200"
-    )
-    env.pop("PYTEST_CURRENT_TEST", None)
-    # scrub the remote-TPU (axon) plugin hooks: its sitecustomize registers a
-    # PJRT plugin in every interpreter, which breaks a CPU-only
-    # jax.distributed process group (process_count stays 1)
-    for var in list(env):
-        if var.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
-            env.pop(var)
+    env = _mp_env()
     procs = [
         subprocess.Popen(
             [sys.executable, script, str(pid), "2", str(port), outdir],
