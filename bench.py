@@ -36,7 +36,7 @@ def main():
     from nerf_tpu.models.nerf_mlp import MLPConfig
     from nerf_tpu.render.network import NeRFModel
     from nerf_tpu.render.renderer import RenderSettings
-    from nerf_tpu.train.step import init_train_state, make_train_step
+    from nerf_tpu.train.step import init_train_state
 
     mcfg = MLPConfig(input_ch=63, input_ch_views=27, output_ch=5)
     rs = RenderSettings(

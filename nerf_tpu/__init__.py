@@ -20,4 +20,4 @@ Layering (bottom-up), mirroring SURVEY.md §7:
     utils/     metrics, checkpoint, io          (ref: run_nerf_helpers.py:9-11, run_nerf.py:792-800)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"

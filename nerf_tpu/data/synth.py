@@ -156,9 +156,18 @@ def _gt_chunk(centers, inv_scales, amps, colors, ro, rd, near, far, n_samples):
 
 
 def scale_field(fp: FieldParams, s: float) -> FieldParams:
-    """Geometrically scale a field by ``s`` with optical depth preserved
-    (lengths scale by s, so density must scale by 1/s for alpha = 1 -
-    exp(-sigma*dist) to be invariant along corresponding rays)."""
+    """Geometrically scale a field by ``s``: Gaussian centers/extents scale
+    exactly, and amplitudes scale by 1/s so that where the SIGMA_TAU cutoff
+    is inactive, optical depth is preserved (lengths scale by s, density by
+    1/s, alpha = 1 - exp(-sigma*dist) invariant along corresponding rays).
+
+    NOT exact through the cutoff: sigma = max(0, G/s - TAU) rather than the
+    invariance target (1/s)*max(0, G - TAU), so for s < 1 the density
+    support widens slightly (bounded by the Gaussian envelopes, which DO
+    scale exactly). Exactness would require scaling TAU per-field, changing
+    every field generated so far — kept as-is so the committed convergence
+    scenes (tools/make_deepvoxels_scene.py, CONVERGENCE.md) stay
+    reproducible bit-for-bit."""
     return FieldParams(
         centers=(fp.centers * s).astype(np.float32),
         inv_scales=(fp.inv_scales / s).astype(np.float32),

@@ -354,21 +354,6 @@ def _plane_from_col(col, emask, spr):
     return jnp.sum(masked.reshape(rpt, spr, spr), axis=1)
 
 
-def _points_from_rays(ro_blk, rd_blk, z_blk, emask, spr):
-    """In-kernel raygen: x [T, 3] = rays_o + rays_d * z for the tile's points.
-
-    Replaces the reference's host-graph ``pts = o + d*z`` (run_nerf.py:381):
-    computed OUTSIDE the kernel, the [R*S, 3] points array occupies 3 of 128
-    lanes for every op that touches it (broadcast, multiply-add, pad copy) —
-    measured ~4 ms/step of pure layout waste on v5e. Here the same f32 madd
-    runs on VMEM-resident blocks and the points never exist in HBM.
-    Bit-identical to the outside computation (same f32 ops, same order)."""
-    z_pt = _col_from_plane(z_blk, emask, spr)  # [T, 1]
-    ro_pt = _per_ray_to_per_point(ro_blk, spr)
-    rd_pt = _per_ray_to_per_point(rd_blk, spr)
-    return ro_pt + rd_pt * z_pt
-
-
 def _per_point_to_per_ray(x_pt, spr):
     """[RV*spr, C] -> [RV, C] by summing each ray's spr sample rows."""
     if spr == 1:
@@ -379,6 +364,14 @@ def _per_point_to_per_ray(x_pt, spr):
 
 def _embed_pts_rays(ro_blk, rd_blk, z_blk, em, spr, kp, dtype):
     """Raygen-mode point embedding with the selector matmul staged PER RAY.
+
+    In-kernel raygen first: x [T, 3] = rays_o + rays_d * z replaces the
+    reference's host-graph ``pts = o + d*z`` (run_nerf.py:381) — computed
+    OUTSIDE the kernel, the [R*S, 3] points array occupies 3 of 128 lanes
+    for every op that touches it (broadcast, multiply-add, pad copy;
+    measured ~4 ms/step of pure layout waste on v5e). Here the same f32
+    madd runs on VMEM-resident blocks, bit-identical to the outside
+    computation, and the points never exist in HBM.
 
     xb[(r,s), (f,d)] = x*2^f is computed as A_pt + B_pt*z_pt where
     A = ro @ Sp and B = rd @ Sp are per-RAY [rpt, 3F] — the 6-pass
@@ -398,7 +391,13 @@ def _embed_pts_rays(ro_blk, rd_blk, z_blk, em, spr, kp, dtype):
     ro_pt = _per_ray_to_per_point(ro_blk, spr)
     rd_pt = _per_ray_to_per_point(rd_blk, spr)
     x = ro_pt + rd_pt * z_pt
-    if dtype == jnp.float32 or TRIG_MODE not in ("poly", "selector"):
+    if (
+        dtype == jnp.float32
+        # num_freqs == 1: _trig_blocks uses exact trig there even in poly
+        # mode — fall back so raygen and dense modes stay bit-matched
+        or kp["Sp"].shape[1] // 3 == 1
+        or TRIG_MODE not in ("poly", "selector")
+    ):
         return _embed_pts(x, kp, dtype)
     A = _dot(ro_blk, kp["Sp"])  # [rpt, 3F], exact power-of-two scaling
     B = _dot(rd_blk, kp["Sp"])
@@ -791,7 +790,7 @@ def _fused_op_rays(kp: Dict, ro, rd, v, z, dtype, width, n_freq_p, n_freq_v,
                    spr, planes_io):
     """Raygen-mode op: rays_o/rays_d/viewdirs [R, 3] + z [R, spr] in, raw
     [R*spr, 4] (or [4, R, spr] ray-planes when ``planes_io``) out. Points are
-    generated inside the kernel (see _points_from_rays); the backward emits
+    generated inside the kernel (see _embed_pts_rays); the backward emits
     weight grads only and zero cotangents for rays/z (the training graph
     never differentiates them)."""
     return _fused_rays_fwd_impl(kp, ro, rd, v, z, dtype, width, spr, planes_io)

@@ -102,17 +102,23 @@ def shard_scene_axis(mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P("data")))
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _stacked_sample(images, poses, i_train, K, keys, H, W, n_rand, crop):
+def one_scene_sample(img, pose, itr, Kk, key, *, H, W, n_rand, crop):
+    """Single-scene policy-(b) sampling body, vmapped over the scene axis by
+    _stacked_sample AND by tools/multiscene_sweep.py — one definition so the
+    key-split order (which the sweep's draw-parity claims depend on) cannot
+    desync between the product path and the measurement tool."""
     from nerf_tpu.data.rays_dataset import _sample_image_rays
 
-    def one(img, pose, itr, Kk, key):
-        key2, sub = jax.random.split(key)
-        ro, rd, tgt = _sample_image_rays(
-            img, pose, itr, Kk, H, W, n_rand, crop, sub
-        )
-        return key2, ro, rd, tgt
+    key2, sub = jax.random.split(key)
+    ro, rd, tgt = _sample_image_rays(
+        img, pose, itr, Kk, H, W, n_rand, crop, sub
+    )
+    return key2, ro, rd, tgt
 
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _stacked_sample(images, poses, i_train, K, keys, H, W, n_rand, crop):
+    one = partial(one_scene_sample, H=H, W=W, n_rand=n_rand, crop=crop)
     return jax.vmap(one)(images, poses, i_train, K, keys)
 
 

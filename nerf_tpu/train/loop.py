@@ -633,7 +633,9 @@ def train(
                 # drain the deferred print now so its rate window stays
                 # train-only (and prints appear before the eval's own lines)
                 _flush_print()
+            evaled = False  # did an eval render actually fetch values?
             if is_main and cfg.i_img > 0 and i % cfg.i_img == 0 and len(scene.i_val):
+                evaled = True
                 # holdout-view PSNR (the reference's i_img logging is dead code,
                 # run_nerf.py:842-861; here it's live): render one val view —
                 # cycled deterministically, or drawn randomly like the
@@ -658,6 +660,7 @@ def train(
                     print("Saved checkpoints at", path)
             multiproc_eval = jax.process_count() > 1
             if (is_main or multiproc_eval) and cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
+                evaled = True
                 base = os.path.join(expdir, f"{cfg.expname}_spiral_{i:06d}_")
                 if multiproc_eval:
                     # frames sharded over processes; p0 assembles the mp4s
@@ -679,6 +682,7 @@ def train(
                     disps = np.nan_to_num(disps, nan=0.0, posinf=0.0)
                     save_video(base + "disp.mp4", disps / max(np.max(disps), 1e-10))
             if (is_main or multiproc_eval) and cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0 and len(scene.i_test):
+                evaled = True
                 testsavedir = os.path.join(expdir, f"testset_{i:06d}")
                 os.makedirs(testsavedir, exist_ok=True)  # every process writes
                 if multiproc_eval:
@@ -696,14 +700,13 @@ def train(
                         cfg.chunk, savedir=testsavedir, gt_imgs=scene.images[scene.i_test],
                         render_frame=frame_renderer(),
                     )
-            if (
-                (cfg.i_img > 0 and i % cfg.i_img == 0)
-                or (cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0)
-                or (cfg.i_testset > 0 and i % cfg.i_testset == 0 and i > 0)
-            ):
-                # the eval's own value fetches drained the in-order queue:
-                # an exact (wall, cum) anchor, excluding eval render time
-                # from the train-throughput windows
+            if evaled:
+                # an eval render's own value fetches drained the in-order
+                # queue: an exact (wall, cum) anchor, excluding eval render
+                # time from the train-throughput windows. Gated on an eval
+                # actually having RUN (not just the cadence): a skipped eval
+                # (empty i_val/i_test, non-main process at an i_img step)
+                # leaves steps in flight and the anchor would be wrong.
                 _anchor_at_drain()
             if "on_step" in hooks:
                 hooks["on_step"](i, state, aux)

@@ -196,7 +196,7 @@ def test_bf16_forward_close_to_f32():
 
 def test_raygen_matches_pts_path():
     """fused_query_rays ~= fused_query(o + d*z): the in-kernel raygen madd
-    (ops/fused_mlp.py _points_from_rays) is the same f32 computation, but
+    (ops/fused_mlp.py _embed_pts_rays) is the same f32 computation, but
     the compiler may fuse o + d*z into an fma on one side only; a 1-ulp
     difference in x becomes ~x*2^9*eps ~ 2e-4 phase at the top posenc
     frequency, so parity is allclose, not bitwise."""

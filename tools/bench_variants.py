@@ -42,7 +42,10 @@ def main():
 
     def _intflag(name, default):
         if name in sys.argv:
-            return int(sys.argv[sys.argv.index(name) + 1])
+            idx = sys.argv.index(name)
+            if idx + 1 >= len(sys.argv):
+                raise SystemExit(f"{name} requires a value, e.g. {name} 64")
+            return int(sys.argv[idx + 1])
         return default
 
     n_samples = _intflag("--samples", 64)

@@ -52,7 +52,10 @@ precrop_frac = 0.5
 def main():
     n_scenes = 8
     if "--scenes" in sys.argv:
-        n_scenes = int(sys.argv[sys.argv.index("--scenes") + 1])
+        idx = sys.argv.index("--scenes")
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit("--scenes requires a value, e.g. --scenes 8")
+        n_scenes = int(sys.argv[idx + 1])
     focal = 0.5 * RES / np.tan(0.5 * CAMERA_ANGLE_X)
     os.makedirs(os.path.join("configs", "multi"), exist_ok=True)
     t0 = time.time()

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from nerf_tpu.config import load_config
-from nerf_tpu.data.rays_dataset import _sample_image_rays
 from nerf_tpu.models.factory import init_model_params, make_model
 from nerf_tpu.parallel.multi_scene import unstack_states
 from nerf_tpu.render.renderer import make_frame_renderer
@@ -40,8 +39,17 @@ FUSE = 50  # steps per dispatched chunk (the production fuse_steps default)
 
 def main():
     argv = sys.argv[1:]
-    n_iters = int(argv[argv.index("--n_iters") + 1]) if "--n_iters" in argv else 2000
-    n_scenes = int(argv[argv.index("--scenes") + 1]) if "--scenes" in argv else 8
+
+    def _intflag(name, default):
+        if name not in argv:
+            return default
+        idx = argv.index(name)
+        if idx + 1 >= len(argv):
+            raise SystemExit(f"{name} requires a value, e.g. {name} 8")
+        return int(argv[idx + 1])
+
+    n_iters = _intflag("--n_iters", 2000)
+    n_scenes = _intflag("--scenes", 8)
     # one warmup chunk + at least one timed chunk
     n_iters = max(2 * FUSE, n_iters - n_iters % FUSE)
     compile_cache.enable()
@@ -90,12 +98,15 @@ def main():
         near_v = jnp.full((S, n_rand), near, jnp.float32)
         far_v = jnp.full((S, n_rand), far, jnp.float32)
 
-        def one_scene_sample(img, pose, itr, Kk, key):
-            key2, sub = jax.random.split(key)
-            ro, rd, tgt = _sample_image_rays(
-                img, pose, itr, Kk, H, W, n_rand, full_crop, sub
-            )
-            return key2, ro, rd, tgt
+        # the shared single-scene sampling body (draw-identical to the
+        # product StackedImageSampler by construction — one definition)
+        from functools import partial as _partial
+
+        from nerf_tpu.parallel.multi_scene import one_scene_sample as _oss
+
+        one_scene_sample = _partial(
+            _oss, H=H, W=W, n_rand=n_rand, crop=full_crop
+        )
 
         def run(mstate, keys, step_keys, images, poses, i_train, Ks):
             def body(carry, _):
