@@ -5,7 +5,8 @@ CONCURRENTLY — one vmapped+scanned program: the stacked image sampler and
 the vmapped train step for a 50-step chunk run as one dispatched lax.scan —
 and the same 8 scenes SEQUENTIALLY (the S=1 program, scene after scene),
 then renders one holdout view per scene for PSNR. Emits a results table +
-docs/artifacts/multiscene_r05.json.
+a JSON record (./multiscene_sweep.json by default; the committed 8-scene
+measurement was published with --out docs/artifacts/multiscene_r05.json).
 
 No reference analog (run_nerf.py:534 trains one scene per process); cite:
 SURVEY.md §5, BASELINE.json configs[4].
@@ -216,8 +217,16 @@ def main():
     print(f"[SWEEP] sequential x{n_scenes}: {t_total:.1f}s total, "
           f"{agg_seq:,.0f} rays/s agg  PSNR {row['holdout_psnr']}", flush=True)
 
-    os.makedirs("docs/artifacts", exist_ok=True)
-    with open("docs/artifacts/multiscene_r05.json", "w") as f:
+    # default OUTSIDE the committed docs/artifacts/ (a smoke run must not
+    # clobber the recorded 8-scene measurement); pass --out to publish
+    out = "multiscene_sweep.json"
+    if "--out" in argv:
+        idx = argv.index("--out")
+        if idx + 1 >= len(argv):
+            raise SystemExit("--out requires a path")
+        out = argv[idx + 1]
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results["runs"], indent=1))
 
