@@ -1,0 +1,180 @@
+"""Import the reference's torch ``.tar`` checkpoints.
+
+The reference saves ``{global_step, network_fn_state_dict,
+network_fine_state_dict, optimizer_state_dict}`` (run_nerf.py:794-800) and
+resumes by loading the newest tar (run_nerf.py:216-233). A user migrating
+from nerf-pytorch has trained models in exactly that format; this module
+maps them onto this framework's pytrees so ``--ft_path ckpt.tar`` resumes a
+reference run natively — parameters, Adam moments, AND the step counter
+(so the exponential LR schedule continues where the torch run left off).
+
+Layout mapping (run_nerf_helpers.py:67-94 registration order):
+- ``pts_linears.{i}.weight`` [out, in] -> ``trunk[i].w`` [in, out] (transposed:
+  this framework stores row-major MXU layout so application is ``x @ w``);
+- viewdirs heads ``feature_linear / alpha_linear / views_linears.0 /
+  rgb_linear`` -> ``feature / alpha / views / rgb``;
+- no-viewdirs ``output_linear`` -> ``output``.
+
+Adam moments: torch's per-param ``exp_avg / exp_avg_sq`` (in
+``grad_vars = list(model.parameters()) + list(model_fine.parameters())``
+order, run_nerf.py:192-199) map onto optax's ``mu / nu`` with the same
+transpose as the weights; the bias-correction counters align because both
+count completed updates. Moments missing from the tar (a pre-first-update
+save) fall back to optax's zero init.
+
+torch is imported lazily and only needed to read the tar; the mapping
+itself is plain numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.models.nerf_mlp import MLPConfig, Params
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (cpu) or array-like -> float32 numpy array."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    # always copy: torch.load can alias storages across state_dict entries,
+    # and the donated train step forbids two arguments sharing one buffer
+    return np.array(t, np.float32)
+
+
+def params_from_torch_state_dict(sd: Mapping, cfg: MLPConfig) -> Params:
+    """Map one reference ``NeRF.state_dict()`` onto this framework's Params."""
+
+    def lin(prefix: str, fan_in: int, fan_out: int) -> Dict[str, np.ndarray]:
+        w = _np(sd[f"{prefix}.weight"])
+        b = _np(sd[f"{prefix}.bias"]).reshape(-1)
+        if w.shape != (fan_out, fan_in):
+            raise ValueError(
+                f"{prefix}.weight has shape {w.shape}, expected "
+                f"({fan_out}, {fan_in}) for the configured model "
+                f"(depth={cfg.depth}, width={cfg.width}, "
+                f"input_ch={cfg.input_ch}, input_ch_views={cfg.input_ch_views})"
+            )
+        return {"w": np.ascontiguousarray(w.T), "b": b}
+
+    params: Params = {"trunk": []}
+    fan_in = cfg.input_ch
+    for i in range(cfg.depth):
+        params["trunk"].append(lin(f"pts_linears.{i}", fan_in, cfg.width))
+        fan_in = cfg.width + (cfg.input_ch if i in cfg.skips else 0)
+    if cfg.use_viewdirs:
+        params["alpha"] = lin("alpha_linear", cfg.width, 1)
+        params["feature"] = lin("feature_linear", cfg.width, cfg.width)
+        params["views"] = lin(
+            "views_linears.0", cfg.width + cfg.input_ch_views, cfg.width // 2
+        )
+        params["rgb"] = lin("rgb_linear", cfg.width // 2, 3)
+    else:
+        params["output"] = lin("output_linear", cfg.width, cfg.output_ch)
+    return params
+
+
+def _moment_state_dicts(opt_sd: Mapping, sd: Mapping, offset: int):
+    """Rebuild {param_name: exp_avg / exp_avg_sq} for one network.
+
+    torch's optimizer state is keyed by position in the param-group list;
+    for a buffer-free module, ``state_dict()`` iterates parameters in the
+    same registration order as ``model.parameters()``, so position
+    ``offset + i`` is the i-th state_dict entry.
+
+    Returns (mu_sd, nu_sd, n_steps) — or (None, None, None) when any
+    parameter's moments are absent (pre-first-update torch save).
+    """
+    state = opt_sd.get("state", {})
+    mu_sd, nu_sd, steps = {}, {}, []
+    for i, name in enumerate(sd.keys()):
+        ps = state.get(offset + i)
+        if ps is None or "exp_avg" not in ps:
+            return None, None, None
+        mu_sd[name] = ps["exp_avg"]
+        nu_sd[name] = ps["exp_avg_sq"]
+        steps.append(int(_np(ps.get("step", 0)).reshape(())))
+    return mu_sd, nu_sd, max(steps) if steps else 0
+
+
+def load_torch_checkpoint(path: str, model) -> Dict:
+    """Read a reference ``.tar`` into {params, mu, nu, step, opt_step}.
+
+    ``model`` is a ``NeRFModel``; its coarse/fine MLPConfigs drive the
+    name mapping and shape validation. ``mu``/``nu`` are None when the tar
+    holds no usable optimizer moments. ``opt_step`` is torch Adam's own
+    update counter (equals ``global_step`` in any real reference run).
+    """
+    import torch  # lazy: only the tar reader needs it
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    step = int(ckpt["global_step"])
+
+    sd_c = ckpt["network_fn_state_dict"]
+    params: Dict = {"coarse": params_from_torch_state_dict(sd_c, model.coarse)}
+    sd_f = ckpt.get("network_fine_state_dict")
+    if model.fine is not None:
+        if sd_f is None:
+            raise ValueError(
+                f"{path} has no network_fine_state_dict but the configured "
+                "model has a fine network (N_importance > 0)"
+            )
+        params["fine"] = params_from_torch_state_dict(sd_f, model.fine)
+
+    mu = nu = None
+    opt_step = step
+    opt_sd = ckpt.get("optimizer_state_dict")
+    if opt_sd is not None:
+        mu_c, nu_c, st_c = _moment_state_dicts(opt_sd, sd_c, 0)
+        if mu_c is not None:
+            mu = {"coarse": params_from_torch_state_dict(mu_c, model.coarse)}
+            nu = {"coarse": params_from_torch_state_dict(nu_c, model.coarse)}
+            opt_step = st_c
+            if model.fine is not None:
+                mu_f, nu_f, st_f = _moment_state_dicts(opt_sd, sd_f, len(sd_c))
+                if mu_f is None:
+                    mu = nu = None  # partial moments: fall back whole
+                else:
+                    mu["fine"] = params_from_torch_state_dict(mu_f, model.fine)
+                    nu["fine"] = params_from_torch_state_dict(nu_f, model.fine)
+                    opt_step = max(st_c, st_f)
+    return {"params": params, "mu": mu, "nu": nu, "step": step, "opt_step": opt_step}
+
+
+def train_state_from_torch_checkpoint(
+    path: str, model, lrate: float, lrate_decay: int
+):
+    """Build a resumable TrainState from a reference ``.tar``.
+
+    The optax chain is ``(scale_by_adam, scale_by_schedule)``; both counts
+    are set to the torch optimizer's completed-update count so bias
+    correction and the LR schedule continue exactly where the reference
+    run stopped (ref resume: run_nerf.py:227-233 + the per-step decay at
+    run_nerf.py:780-784).
+    """
+    from nerf_tpu.train.step import TrainState, make_optimizer  # lazy: no cycle
+
+    loaded = load_torch_checkpoint(path, model)
+    params = jax.tree.map(jnp.asarray, loaded["params"])
+    tx = make_optimizer(lrate, lrate_decay)
+    opt_state = tx.init(params)
+    if loaded["mu"] is not None:
+        adam, sched = opt_state
+        # two distinct count arrays: the donated train step forbids one
+        # buffer appearing as two arguments
+        adam = adam._replace(
+            count=jnp.asarray(loaded["opt_step"], jnp.int32),
+            mu=jax.tree.map(jnp.asarray, loaded["mu"]),
+            nu=jax.tree.map(jnp.asarray, loaded["nu"]),
+        )
+        sched = sched._replace(count=jnp.asarray(loaded["opt_step"], jnp.int32))
+        opt_state = (adam, sched)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jnp.asarray(loaded["step"], jnp.int32),
+    )

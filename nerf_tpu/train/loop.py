@@ -266,9 +266,18 @@ def train(
 
     params = init_model_params(k_init, model)
     state = init_train_state(params, cfg.lrate, cfg.lrate_decay)
-    state = ckpt_lib.maybe_resume(
-        cfg.basedir, cfg.expname, state, cfg.no_reload, cfg.ft_path
-    )
+    if cfg.ft_path not in (None, "None") and cfg.ft_path.endswith(".tar"):
+        # reference-format torch checkpoint (run_nerf.py:794-800): import
+        # params + Adam moments + step so a nerf-pytorch run resumes natively
+        from nerf_tpu.models.torch_import import train_state_from_torch_checkpoint
+
+        state = train_state_from_torch_checkpoint(
+            cfg.ft_path, model, cfg.lrate, cfg.lrate_decay
+        )
+    else:
+        state = ckpt_lib.maybe_resume(
+            cfg.basedir, cfg.expname, state, cfg.no_reload, cfg.ft_path
+        )
     start = int(state.step)
 
     # render-only short-circuit (ref run_nerf.py:654-672). Multi-process:
