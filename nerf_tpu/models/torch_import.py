@@ -1,4 +1,4 @@
-"""Import the reference's torch ``.tar`` checkpoints.
+"""Import — and export — the reference's torch ``.tar`` checkpoint format.
 
 The reference saves ``{global_step, network_fn_state_dict,
 network_fine_state_dict, optimizer_state_dict}`` (run_nerf.py:794-800) and
@@ -99,6 +99,92 @@ def _moment_state_dicts(opt_sd: Mapping, sd: Mapping, offset: int):
         nu_sd[name] = ps["exp_avg_sq"]
         steps.append(int(_np(ps.get("step", 0)).reshape(())))
     return mu_sd, nu_sd, max(steps) if steps else 0
+
+
+def state_dict_from_params(params: Params, cfg: MLPConfig) -> Dict:
+    """Inverse mapping: this framework's Params -> a reference-layout
+    state_dict (plain numpy, [out, in] weights) — the exact key set
+    ``NeRF.state_dict()`` produces, so torch tooling built on the reference
+    (viewers, mesh extractors, further torch training) consumes it."""
+    sd: Dict = {}
+
+    def put(prefix: str, p):
+        # np.array (not ascontiguousarray): always a fresh WRITABLE copy —
+        # jax.device_get hands back read-only buffers, and a [1, W] transpose
+        # is already contiguous so ascontiguousarray would pass the read-only
+        # view through to torch.from_numpy
+        sd[f"{prefix}.weight"] = np.array(np.asarray(p["w"]).T, np.float32)
+        sd[f"{prefix}.bias"] = np.array(p["b"], np.float32)
+
+    for i in range(cfg.depth):
+        put(f"pts_linears.{i}", params["trunk"][i])
+    if cfg.use_viewdirs:
+        put("views_linears.0", params["views"])
+        put("feature_linear", params["feature"])
+        put("alpha_linear", params["alpha"])
+        put("rgb_linear", params["rgb"])
+    else:
+        put("output_linear", params["output"])
+    return sd
+
+
+def export_torch_checkpoint(path: str, state, model) -> str:
+    """Write a TrainState as a reference-format ``.tar`` (run_nerf.py:794-800).
+
+    Inverse of :func:`train_state_from_torch_checkpoint`: network weights,
+    Adam moments (exp_avg/exp_avg_sq at the optax counts), and global_step,
+    loadable by the stock reference's resume (run_nerf.py:216-233). A TPU
+    training run therefore has no lock-in — hand the tar back to any
+    torch-based downstream tooling.
+    """
+    import torch  # lazy
+
+    params = jax.device_get(state.params)
+    sd_c = state_dict_from_params(params["coarse"], model.coarse)
+    out = {
+        "global_step": int(state.step),
+        "network_fn_state_dict": {k: torch.from_numpy(v) for k, v in sd_c.items()},
+        "optimizer_state_dict": {"state": {}, "param_groups": []},
+    }
+    sds = [sd_c]
+    if "fine" in params:
+        sd_f = state_dict_from_params(params["fine"], model.fine)
+        out["network_fine_state_dict"] = {
+            k: torch.from_numpy(v) for k, v in sd_f.items()
+        }
+        sds.append(sd_f)
+
+    adam, _sched = state.opt_state
+    mu, nu = jax.device_get((adam.mu, adam.nu))
+    count = int(adam.count)
+    opt_state: Dict = {}
+    idx = 0
+    for lvl, sd in zip(("coarse", "fine"), sds):
+        lvl_cfg = model.fine if lvl == "fine" else model.coarse
+        mu_sd = state_dict_from_params(mu[lvl], lvl_cfg)
+        nu_sd = state_dict_from_params(nu[lvl], lvl_cfg)
+        for name in sd:
+            opt_state[idx] = {
+                "step": torch.tensor(float(count)),
+                "exp_avg": torch.from_numpy(mu_sd[name]),
+                "exp_avg_sq": torch.from_numpy(nu_sd[name]),
+            }
+            idx += 1
+    out["optimizer_state_dict"] = {
+        "state": opt_state,
+        "param_groups": [
+            {
+                "lr": 0.0,  # the reference overwrites lr every step
+                "betas": (0.9, 0.999),
+                "eps": 1e-8,
+                "weight_decay": 0,
+                "amsgrad": False,
+                "params": list(range(idx)),
+            }
+        ],
+    }
+    torch.save(out, path)
+    return path
 
 
 def load_torch_checkpoint(path: str, model) -> Dict:

@@ -172,6 +172,55 @@ def test_tar_import_exact_one_step_continuation(tmp_path, ref_helpers):
     )
 
 
+def test_export_round_trips_and_loads_in_reference(tmp_path, ref_helpers):
+    """Export writes a tar the STOCK reference consumes: strict
+    load_state_dict on both networks, optimizer state loads and steps,
+    and re-importing reproduces the exported state exactly."""
+    from nerf_tpu.models.torch_import import export_torch_checkpoint
+
+    m, mf, opt = _ref_pair_with_optimizer(ref_helpers, n_updates=3)
+    src = str(tmp_path / "src.tar")
+    _save_ref_tar(src, m, mf, opt, global_step=3)
+    model = make_model(_cfg())
+    state = train_state_from_torch_checkpoint(src, model, LRATE, LRATE_DECAY)
+
+    out = str(tmp_path / "exported.tar")
+    export_torch_checkpoint(out, state, model)
+
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert ckpt["global_step"] == 3
+    kw = dict(D=D, W=W, input_ch=63, input_ch_views=27, output_ch=5,
+              skips=[4], use_viewdirs=True)
+    m2, mf2 = ref_helpers.NeRF(**kw), ref_helpers.NeRF(**kw)
+    m2.load_state_dict(ckpt["network_fn_state_dict"], strict=True)
+    mf2.load_state_dict(ckpt["network_fine_state_dict"], strict=True)
+    # weights survived the round trip bit-exact
+    for a, b in zip(m.state_dict().values(), m2.state_dict().values()):
+        np.testing.assert_array_equal(a.numpy(), b.numpy())
+    # moments round-tripped exactly (checked BEFORE stepping: torch's
+    # optimizer load_state_dict aliases these tensors and step() mutates
+    # them in place)
+    np.testing.assert_array_equal(
+        ckpt["optimizer_state_dict"]["state"][0]["exp_avg"].numpy(),
+        opt.state_dict()["state"][0]["exp_avg"].numpy(),
+    )
+    # the reference's own resume path accepts the optimizer state and steps
+    opt2 = torch.optim.Adam(
+        list(m2.parameters()) + list(mf2.parameters()), lr=LRATE
+    )
+    opt2.load_state_dict(ckpt["optimizer_state_dict"])
+    (m2(torch.randn(8, 90)).square().mean()
+     + mf2(torch.randn(8, 90)).square().mean()).backward()
+    opt2.step()
+    # re-import of the export == the original import
+    state2 = train_state_from_torch_checkpoint(out, model, LRATE, LRATE_DECAY)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (state.params, state.opt_state[0].mu, int(state.opt_state[0].count)),
+        (state2.params, state2.opt_state[0].mu, int(state2.opt_state[0].count)),
+    )
+
+
 def test_driver_resumes_from_tar_via_ft_path(tmp_path, ref_helpers):
     m, mf, opt = _ref_pair_with_optimizer(ref_helpers, n_updates=2)
     path = str(tmp_path / "000002.tar")
