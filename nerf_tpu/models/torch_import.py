@@ -86,18 +86,30 @@ def _moment_state_dicts(opt_sd: Mapping, sd: Mapping, offset: int):
     same registration order as ``model.parameters()``, so position
     ``offset + i`` is the i-th state_dict entry.
 
-    Returns (mu_sd, nu_sd, n_steps) — or (None, None, None) when any
-    parameter's moments are absent (pre-first-update torch save).
+    Parameters with no optimizer entry get zero moments: torch Adam only
+    materializes state for params that have received gradients, and the
+    reference registers heads its forward never uses (``views_linears``
+    when ``use_viewdirs=False``, run_nerf_helpers.py:83), so a real
+    reference tar legitimately lacks moments for them — and zeros are
+    exactly what a continued run would have. Returns (mu_sd, nu_sd,
+    n_steps) — or (None, None, None) when NO parameter has state (a
+    pre-first-update torch save).
     """
     state = opt_sd.get("state", {})
     mu_sd, nu_sd, steps = {}, {}, []
+    found = 0
     for i, name in enumerate(sd.keys()):
         ps = state.get(offset + i)
         if ps is None or "exp_avg" not in ps:
-            return None, None, None
+            z = np.zeros_like(_np(sd[name]))
+            mu_sd[name], nu_sd[name] = z, z.copy()
+            continue
+        found += 1
         mu_sd[name] = ps["exp_avg"]
         nu_sd[name] = ps["exp_avg_sq"]
         steps.append(int(_np(ps.get("step", 0)).reshape(())))
+    if found == 0:
+        return None, None, None
     return mu_sd, nu_sd, max(steps) if steps else 0
 
 

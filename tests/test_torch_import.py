@@ -221,6 +221,53 @@ def test_export_round_trips_and_loads_in_reference(tmp_path, ref_helpers):
     )
 
 
+def test_tar_no_viewdirs_no_fine_round_trip(tmp_path, ref_helpers):
+    """The output_linear (no-viewdirs) head and the fine-absent tar layout
+    survive both directions."""
+    from nerf_tpu.models.torch_import import export_torch_checkpoint
+
+    torch.manual_seed(3)
+    m = ref_helpers.NeRF(D=D, W=W, input_ch=63, input_ch_views=0,
+                         output_ch=4, skips=[4], use_viewdirs=False)
+    opt = torch.optim.Adam(m.parameters(), lr=LRATE)
+    x = torch.randn(16, 63)
+    for _ in range(2):
+        opt.zero_grad()
+        m(x).square().mean().backward()
+        opt.step()
+    path = str(tmp_path / "nv.tar")
+    torch.save(
+        {
+            "global_step": 2,
+            "network_fn_state_dict": m.state_dict(),
+            "optimizer_state_dict": opt.state_dict(),
+        },
+        path,
+    )
+
+    model = make_model(_cfg(use_viewdirs=False, N_importance=0, multires_views=0))
+    assert model.fine is None and not model.coarse.use_viewdirs
+    state = train_state_from_torch_checkpoint(path, model, LRATE, LRATE_DECAY)
+    with torch.no_grad():
+        ref_out = m(x).numpy()
+    ours = np.asarray(
+        apply_mlp(state.params["coarse"], model.coarse, jnp.asarray(x.numpy()))
+    )
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-5, atol=1e-6)
+    adam, _ = state.opt_state
+    assert int(adam.count) == 2 and "fine" not in state.params
+
+    out = str(tmp_path / "nv_export.tar")
+    export_torch_checkpoint(out, state, model)
+    ck = torch.load(out, map_location="cpu", weights_only=False)
+    assert "network_fine_state_dict" not in ck
+    m2 = ref_helpers.NeRF(D=D, W=W, input_ch=63, input_ch_views=0,
+                          output_ch=4, skips=[4], use_viewdirs=False)
+    m2.load_state_dict(ck["network_fn_state_dict"], strict=True)
+    for a, b in zip(m.state_dict().values(), m2.state_dict().values()):
+        np.testing.assert_array_equal(a.numpy(), b.numpy())
+
+
 def test_driver_resumes_from_tar_via_ft_path(tmp_path, ref_helpers):
     m, mf, opt = _ref_pair_with_optimizer(ref_helpers, n_updates=2)
     path = str(tmp_path / "000002.tar")
